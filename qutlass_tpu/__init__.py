@@ -1,0 +1,268 @@
+"""qutlass_tpu — TPU-native microscaling (MX/NV FP4, MXFP8) quantized BLAS.
+
+A ground-up JAX/Pallas rebuild of the capabilities of IST-DASLab/qutlass
+for TPU: fused rotation+quantization kernels, block-scaled GEMMs, and the
+Quartet QAT backward kernels, plus quantized linear layers, model
+integration and sharding utilities.
+
+Public API mirrors the reference (qutlass/__init__.py) with the same
+names and call shapes; snake_case aliases are provided.  On-device
+storage for sub-byte formats:
+
+  * e2m1 data: ``uint8``, two values per byte, element 2i in the low nibble
+  * e8m0 scales: ``uint8`` exponent bytes
+  * e4m3 data/scales: ``uint8`` bit patterns
+
+(TPU XLA does not accept fp8/e8m0 array dtypes on device; on host these
+bytes can be viewed with ``ml_dtypes``.)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import utils
+from .formats import codecs, golden
+from .ops import dispatch
+from .ops import emulation as _emu
+from .utils import (ceil_div, from_blocked, get_padded_shape_mx,
+                    get_padded_shape_nv, pad_to_block, round_up, to_blocked,
+                    to_blocked_swizzled)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "fusedQuantizeMx", "fusedQuantizeNv",
+    "matmul_mxf4_bf16_tn", "matmul_ada_mxf4_bf16_tn", "matmul_nvf4_bf16_tn",
+    "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
+    "backward_t_bf16", "backward_qt_bf16",
+    "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
+    "fused_quantize_mx", "fused_quantize_nv",
+    "to_blocked", "to_blocked_swizzled", "pad_to_block",
+    "get_padded_shape_mx", "get_padded_shape_nv",
+]
+
+
+def _as_bytes(x: jax.Array) -> jax.Array:
+    """Accept fp8/fp4 ml_dtypes arrays on host and view them as uint8."""
+    if x.dtype == jnp.uint8:
+        return x
+    if x.dtype in (jnp.dtype("float8_e8m0fnu"), jnp.dtype("float8_e4m3fn")):
+        return jax.lax.bitcast_convert_type(x, jnp.uint8)
+    if x.dtype == jnp.int32:
+        return x.astype(jnp.uint8)
+    raise TypeError(f"expected uint8 byte tensor, got {x.dtype}")
+
+
+def _norm_scales(sf: jax.Array, rows: int, cols: int) -> jax.Array:
+    """Normalize a scale argument to exact row-major [rows, cols] bytes.
+
+    Accepts the flattened padded layout produced by :func:`to_blocked`,
+    the padded 2-D buffer from the quantizers, or an exact [rows, cols]
+    matrix.
+    """
+    sf = _as_bytes(sf)
+    if sf.ndim == 1:
+        sf = sf.reshape(-1, round_up(cols, 4))
+    if sf.shape[0] > rows or sf.shape[1] > cols:
+        sf = sf[:rows, :cols]
+    assert sf.shape == (rows, cols), (sf.shape, rows, cols)
+    return sf
+
+
+_PALLAS_MOD = "unset"
+
+
+def _kernels():
+    """Import the Pallas kernels lazily; None if unavailable."""
+    global _PALLAS_MOD
+    if _PALLAS_MOD == "unset":
+        try:
+            from .ops import pallas_ops
+            _PALLAS_MOD = pallas_ops
+        except ImportError:
+            _PALLAS_MOD = None
+    return _PALLAS_MOD
+
+
+def _route(shape_ok: bool):
+    """Return the Pallas module when it should handle this call, else None."""
+    if not dispatch.use_pallas(shape_ok):
+        return None
+    return _kernels()
+
+
+# ---------------------------------------------------------------------------
+# fused quantization
+# ---------------------------------------------------------------------------
+
+def fusedQuantizeMx(a: jax.Array, h: jax.Array, *, method: str = "quest",
+                    return_mask: bool = False):
+    """Fused rotation + MXFP4 quantization.
+
+    a: [..., K] bf16; h: [r, r] rotation (Hadamard/identity), r in
+    {16,32,64,128}, K % r == 0, K % 32 == 0.
+    Returns (e2m1 u8 [..., K/2], e8m0 u8 [pad_rows, pad_cols]
+    [, clip_mask u8 [..., K/8]]).  Reference: qutlass/__init__.py:149-180.
+    """
+    if method not in ("quest", "abs_max"):
+        raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
+    if return_mask and method != "quest":
+        raise ValueError("return_mask is only supported for method 'quest'")
+    rot = h.shape[-1]
+    k = a.shape[-1]
+    assert k % rot == 0 and k % 32 == 0, (k, rot)
+    kn = _route(k % 128 == 0)
+    impl = kn.fused_quantize_mx if kn else _emu.fused_quantize_mx
+    return impl(a, h, rot_size=rot, method=method, return_mask=return_mask)
+
+
+def fusedQuantizeNv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
+                    method: str = "abs_max"):
+    """Fused rotation + NVFP4 quantization (group 16, e4m3 scales).
+
+    Reference: qutlass/__init__.py:183-203.
+    """
+    if method not in ("quest", "abs_max"):
+        raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
+    rot = h.shape[-1]
+    k = a.shape[-1]
+    assert k % rot == 0 and k % 16 == 0, (k, rot)
+    kn = _route(k % 128 == 0)
+    impl = kn.fused_quantize_nv if kn else _emu.fused_quantize_nv
+    return impl(a, h, global_scale, rot_size=rot, method=method)
+
+
+# snake_case aliases
+fused_quantize_mx = fusedQuantizeMx
+fused_quantize_nv = fusedQuantizeNv
+
+
+# ---------------------------------------------------------------------------
+# block-scaled GEMMs
+# ---------------------------------------------------------------------------
+
+def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
+    """out[M,N] = (dq(a) @ dq(b)^T) * alpha in bf16.
+
+    a: u8 [M, K/2], b: u8 [N, K/2]; scales row-major (or the flattened
+    padded layout from :func:`to_blocked`).  Reference gemm.cu:174-248.
+    """
+    m, n = a.shape[0], b.shape[0]
+    k = a.shape[1] * 2
+    a_sf = _norm_scales(a_sf, m, k // 32)
+    b_sf = _norm_scales(b_sf, n, k // 32)
+    a, b = _as_bytes(a), _as_bytes(b)
+    kn = None if backend == "emulation" else _route(k % 128 == 0)
+    impl = kn.matmul_mxf4_bf16_tn if kn else _emu.matmul_mxf4_bf16_tn
+    return impl(a, b, a_sf, b_sf, alpha)
+
+
+def matmul_ada_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
+    """Small-batch variant — same kernel with small-M tiles on TPU.
+
+    The reference needs a second kernel for this regime
+    (gemm_ada.cu:29-135) because of the Blackwell scale swizzle; on TPU
+    the tile table covers it (SURVEY.md §2.6 note).
+    """
+    return matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha)
+
+
+def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
+    """NVFP4 GEMM (group 16, e4m3 scales). Reference gemm.cu:250-326."""
+    m, n = a.shape[0], b.shape[0]
+    k = a.shape[1] * 2
+    a_sf = _norm_scales(a_sf, m, k // 16)
+    b_sf = _norm_scales(b_sf, n, k // 16)
+    a, b = _as_bytes(a), _as_bytes(b)
+    kn = None if backend == "emulation" else _route(k % 128 == 0)
+    impl = kn.matmul_nvf4_bf16_tn if kn else _emu.matmul_nvf4_bf16_tn
+    return impl(a, b, a_sf, b_sf, alpha)
+
+
+def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha):
+    """MXFP8 GEMM TN: a u8(e4m3) [M,K], b u8 [N,K]. Reference gemm.cu:328-386."""
+    m, n, k = a.shape[0], b.shape[0], a.shape[1]
+    a_sf = _norm_scales(a_sf, m, k // 32)
+    b_sf = _norm_scales(b_sf, n, k // 32)
+    a, b = _as_bytes(a), _as_bytes(b)
+    kn = _route(k % 128 == 0)
+    impl = kn.matmul_mxf8_bf16_tn if kn else _emu.matmul_mxf8_bf16_tn
+    return impl(a, b, a_sf, b_sf, alpha)
+
+
+def matmul_mxf8_bf16_nn(a, b, a_sf, b_sf, alpha):
+    """MXFP8 GEMM NN: a stored [K, M] (logical A^T). Reference gemm.cu:388-434."""
+    k, m = a.shape
+    n = b.shape[0]
+    a_sf = _norm_scales(a_sf, m, k // 32)
+    b_sf = _norm_scales(b_sf, n, k // 32)
+    a, b = _as_bytes(a), _as_bytes(b)
+    kn = _route(k % 128 == 0)
+    impl = kn.matmul_mxf8_bf16_nn if kn else _emu.matmul_mxf8_bf16_nn
+    return impl(a, b, a_sf, b_sf, alpha)
+
+
+# ---------------------------------------------------------------------------
+# QAT backward ops
+# ---------------------------------------------------------------------------
+
+def backward_t_bf16(x, h):
+    """Rotate-transpose-quantize to MXFP4 (QAT wgrad operand).
+
+    x: [..., N, K] bf16 -> (e2m1 u8 [..., K, N/2], e8m0 u8 [..., K, N/32]).
+    Reference: __init__.py:206-243 / quartet_bwd_sm120.cu:237-325.
+    """
+    rot = h.shape[-1]
+    kn = _route(x.shape[-2] % 128 == 0 and x.shape[-1] % 128 == 0)
+    impl = kn.backward_t_bf16 if kn else _emu.backward_t_bf16
+    return impl(x, h, rot_size=rot)
+
+
+def backward_qt_bf16(x_e2m1, x_e8m0, h, alpha):
+    """Dequant-rotate-transpose-requantize MXFP4 (QAT dgrad-side operand).
+
+    Reference: __init__.py:246-282 / quartet_bwd_sm120.cu:327-493.
+    """
+    rot = h.shape[-1]
+    x_e2m1, x_e8m0 = _as_bytes(x_e2m1), _as_bytes(x_e8m0)
+    n = x_e2m1.shape[-1] * 2
+    if x_e8m0.ndim == x_e2m1.ndim and x_e8m0.shape[-1] != n // 32:
+        x_e8m0 = x_e8m0[..., : x_e2m1.shape[-2], : n // 32]
+    kn = _route(n % 128 == 0 and x_e2m1.shape[-2] % 128 == 0)
+    impl = kn.backward_qt_bf16 if kn else _emu.backward_qt_bf16
+    return impl(x_e2m1, x_e8m0, h, alpha, rot_size=rot)
+
+
+def backward_bf16_square_double_mxfp8(x_bf16):
+    """32x32-tile double quantization to MXFP8, both scale orientations.
+
+    Pads M to 128 like the reference (__init__.py:284-293).
+    """
+    x = pad_to_block(x_bf16, [0], 128)
+    kn = _route(x.shape[0] % 128 == 0 and x.shape[1] % 128 == 0)
+    impl = (kn.backward_bf16_square_double_mxfp8 if kn
+            else _emu.backward_bf16_square_double_mxfp8)
+    return impl(x)
+
+
+def mxfp4_transpose_mxfp8(x_fp4, scales):
+    """Dequant MXFP4, transpose, requantize to MXFP8.
+
+    Pads M to 256 with unit scales like the reference
+    (__init__.py:295-310).
+    """
+    x_fp4 = _as_bytes(x_fp4)
+    m = x_fp4.shape[0]
+    n = x_fp4.shape[1] * 2
+    scales = _norm_scales(scales, min(m, scales.shape[0] if scales.ndim == 2 else m),
+                          n // 32)
+    mp = round_up(m, 256)
+    if mp != m:
+        x_fp4 = pad_to_block(x_fp4, [0], 256)
+    if scales.shape[0] < mp:
+        pad = jnp.full((mp - scales.shape[0], n // 32), 127, jnp.uint8)
+        scales = jnp.concatenate([scales, pad], axis=0)
+    kn = _route(mp % 256 == 0 and n % 128 == 0)
+    impl = kn.mxfp4_transpose_mxfp8 if kn else _emu.mxfp4_transpose_mxfp8
+    return impl(x_fp4, scales)

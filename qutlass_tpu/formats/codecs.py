@@ -1,0 +1,293 @@
+"""Shared low-precision codecs (device semantics, fp32/int32 arithmetic).
+
+These functions are the single source of truth for the microscaling number
+formats used across the library.  They are written in plain ``jax.numpy`` so
+the *same code* runs in three contexts:
+
+  * inside Pallas TPU kernels (Mosaic-lowered),
+  * in the XLA "emulation" backend (any platform, used on CPU and as a
+    fallback for shapes the kernels do not cover),
+  * under ``jax.jit`` on CPU for the test-suite.
+
+Numerics contract (reference: IST-DASLab/qutlass):
+  * e2m1 RTNE with even-code tie-break — mirrors the PTX
+    ``cvt.rn.satfinite.e2m1x2.f32`` used by the reference
+    (qutlass/csrc/include/cutlass_extensions/epilogue/threadblock/
+    epilogue_quant.h:77-97) and the fp64 golden model
+    (tests/mxfp4_test.py:45-81).
+  * e8m0 power-of-two floor via fp32 exponent-bit masking
+    (``& 0x7f800000``) — epilogue_quant.h:537-539.
+  * e4m3 saturating RTNE cast — mirrors ``__nv_fp8_e4m3`` conversion
+    (epilogue_quant.h:1634-1640).
+
+All "byte" values are carried as ``int32`` (TPU vectors ops prefer i32;
+uint8<->float casts are not supported by Mosaic) and only converted to
+``uint8`` at kernel output boundaries.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# fp4 e2m1 value grid, code order 0..7 (positive half).
+E2M1_GRID = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+E2M1_MAX = 6.0
+E4M3_MAX = 448.0
+
+_RTNE = lax.RoundingMethod.TO_NEAREST_EVEN
+
+
+def _bitcast(x, dtype):
+    """Same-width bitcast that lowers in both XLA and Mosaic."""
+    return lax.bitcast_convert_type(x, dtype)
+
+
+# ---------------------------------------------------------------------------
+# e2m1 (fp4)
+# ---------------------------------------------------------------------------
+
+def e2m1_rtne_codes(q: jax.Array) -> jax.Array:
+    """Round fp32 ``q`` to the nearest e2m1 value; return int32 codes 0..15.
+
+    Tie-break is to the even *code*, which coincides with IEEE
+    round-to-nearest-even on the e2m1 grid.  Saturates to ±6
+    (``satfinite``); NaN maps to +0 (code 0).
+
+    The grid {0, .5, 1, 1.5, 2, 3, 4, 6} is piecewise uniform, so RTNE on
+    it decomposes into three integer RTNE roundings:
+      |q| in [0, 2]: step 0.5 → codes 0..4
+      |q| in (2, 4]: step 1.0 → codes 4..6
+      |q| in (4, 6]: step 2.0 → codes 6..7
+    """
+    sign = jnp.signbit(q).astype(jnp.int32)
+    a = jnp.abs(q)
+    a = jnp.where(jnp.isnan(a), 0.0, jnp.minimum(a, E2M1_MAX))
+    c1 = lax.round(a * 2.0, _RTNE)
+    c2 = 2.0 + lax.round(a, _RTNE)
+    c3 = 4.0 + lax.round(a * 0.5, _RTNE)
+    code = jnp.where(a <= 2.0, c1, jnp.where(a <= 4.0, c2, c3)).astype(jnp.int32)
+    return code | (sign << 3)
+
+
+def e2m1_decode_f32(codes: jax.Array) -> jax.Array:
+    """int32 e2m1 codes (0..15) -> exact fp32 values."""
+    mag = codes & 7
+    sign = (codes >> 3) & 1
+    e = mag >> 1
+    m = mag & 1
+    # fp32 bit pattern: e==0 -> {0, 0.5}; else (1 + m/2) * 2^(e-1).
+    bits = jnp.where(e == 0, m * jnp.int32(0x3F000000),
+                     ((126 + e) << 23) | (m << 22))
+    bits = bits | (sign << 31)
+    return _bitcast(bits, jnp.float32)
+
+
+def e2m1_decode_scaled_bf16(codes: jax.Array, scale_bytes: jax.Array) -> jax.Array:
+    """Decode e2m1 codes and multiply by e8m0 scales in one integer pass.
+
+    ``scale_bytes`` is the e8m0 exponent byte (int32, broadcastable against
+    ``codes``).  Because the scale is a power of two, multiplying is an add
+    on the bf16 exponent field, which keeps the whole dequant in int ops
+    until one final bitcast — exact, and fast on the VPU.
+
+    Exponent-field overflow/underflow is clamped (cannot occur for scales
+    produced by the quantizers on finite bf16 data).
+    """
+    mag = codes & 7
+    sign = (codes >> 3) & 1
+    e = mag >> 1
+    m = mag & 1
+    # bf16 bits of the unscaled value: exponent field and mantissa bit.
+    # value = 2^(scale-127) * grid[mag]
+    #   e==0, m==0 -> 0
+    #   e==0, m==1 -> 0.5  => exp field 126
+    #   e>=1       -> (1+m/2)*2^(e-1) => exp field 126+e, mant bit m<<6
+    exp_field = jnp.where(e == 0, 126, 126 + e) + scale_bytes - 127
+    exp_field = jnp.clip(exp_field, 0, 255)
+    mant = jnp.where(e == 0, 0, m << 6)
+    bits = (exp_field << 7) | mant
+    bits = jnp.where((e == 0) & (m == 0), 0, bits)
+    bits = bits | (sign << 15)
+    return _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# e8m0 (power-of-two block scales)
+# ---------------------------------------------------------------------------
+
+def pow2_floor_e8m0(scale: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """fp32 scale -> (pow2-floored fp32 scale, int32 e8m0 byte).
+
+    Masks the mantissa bits of the fp32 representation
+    (``& 0x7f800000``), exactly like the reference epilogue
+    (epilogue_quant.h:537-539).  Subnormal inputs floor to byte 0
+    (2^-127); the reference's ``+1e-8`` offsets keep real data out of
+    that regime.
+    """
+    bits = _bitcast(scale, jnp.int32) & jnp.int32(0x7F800000)
+    return _bitcast(bits, jnp.float32), bits >> 23
+
+
+def e8m0_decode_f32(byte: jax.Array) -> jax.Array:
+    """int32 e8m0 byte -> fp32 2^(byte-127).  Byte 0 -> 2^-127, 255 -> NaN."""
+    byte = byte.astype(jnp.int32)
+    f = _bitcast(byte << 23, jnp.float32)
+    # byte 0 is 2^-127 (fp32 subnormal), not zero; scalar constant — a
+    # scalar bitcast would not lower in Mosaic
+    f = jnp.where(byte == 0, jnp.float32(5.877471754111438e-39), f)
+    return jnp.where(byte == 255, jnp.float32(jnp.nan), f)
+
+
+# ---------------------------------------------------------------------------
+# e4m3 (fp8 block scales / data)
+# ---------------------------------------------------------------------------
+
+def e4m3_rtne_bytes(x: jax.Array) -> jax.Array:
+    """fp32 -> e4m3fn byte (int32), RTNE with saturation to ±448.
+
+    NaN maps to 0x7F (e4m3fn NaN), matching ``__nv_fp8_e4m3``.
+    Normal range rounds by fp32 bit manipulation (RTNE to 3 mantissa
+    bits); the subnormal range (|x| < 2^-6) rounds on the fixed
+    2^-9-step grid.
+    """
+    sign = jnp.signbit(x).astype(jnp.int32)
+    isnan = jnp.isnan(x)
+    a = jnp.where(isnan, 0.0, jnp.minimum(jnp.abs(x), E4M3_MAX))
+
+    # Normal path: RTNE to 3 mantissa bits via integer rounding of the
+    # fp32 bit pattern (guard/sticky handled by the +((1<<19)-1) add).
+    bits = _bitcast(a, jnp.int32)
+    lsb = (bits >> 20) & 1
+    rbits = (bits + lsb + jnp.int32(0x7FFFF)) & jnp.int32(~0xFFFFF)
+    rn = _bitcast(rbits, jnp.float32)
+    rn = jnp.minimum(rn, E4M3_MAX)  # 448 + eps rounds up to 512; clamp back
+
+    # Subnormal path (|x| < 2^-6): fixed step 2^-9.
+    sub = lax.round(a * 512.0, _RTNE) * (1.0 / 512.0)
+
+    v = jnp.where(a < 2.0 ** -6, sub, rn)
+
+    # Assemble the byte from the exact value ``v``.
+    vbits = _bitcast(v, jnp.int32)
+    exp32 = (vbits >> 23) & 0xFF
+    mant3 = (vbits >> 20) & 7
+    is_sub = exp32 < (127 - 6)
+    sub_mant = lax.round(v * 512.0, _RTNE).astype(jnp.int32)
+    byte = jnp.where(v == 0.0, 0,
+                     jnp.where(is_sub, sub_mant,
+                               ((exp32 - 127 + 7) << 3) | mant3))
+    byte = jnp.where(isnan, 0x7F, byte)
+    return byte | (sign << 7)
+
+
+def e4m3_decode_f32(byte: jax.Array) -> jax.Array:
+    """int32 e4m3fn byte -> exact fp32.  0x7F/0xFF decode to NaN."""
+    byte = byte.astype(jnp.int32)
+    sign = (byte >> 7) & 1
+    e = (byte >> 3) & 0xF
+    m = byte & 7
+    # normal: (1 + m/8) * 2^(e-7); subnormal (e==0): m * 2^-9
+    norm_bits = ((e + 120) << 23) | (m << 20)
+    norm = _bitcast(norm_bits, jnp.float32)
+    sub = m.astype(jnp.float32) * (2.0 ** -9)
+    v = jnp.where(e == 0, sub, norm)
+    v = jnp.where((e == 15) & (m == 7), jnp.float32(jnp.nan), v)
+    return jnp.where(sign == 1, -v, v)
+
+
+def e4m3_decode_scaled_bf16(bytes_: jax.Array, scale_bytes: jax.Array) -> jax.Array:
+    """Decode e4m3 data bytes and apply e8m0 scales, integer-only.
+
+    e4m3 values have a 4-bit significand, exactly representable in bf16;
+    the power-of-two scale is an exponent-field add.  Subnormal e4m3
+    values (exp field 0) are normalized arithmetically first.
+    """
+    b = bytes_.astype(jnp.int32)
+    sign = (b >> 7) & 1
+    e = (b >> 3) & 0xF
+    m = b & 7
+    # Normalize subnormals: value m*2^-9 = (1+mm/2^k...)  Use a 3-bit
+    # priority decode: m in 1..7 -> (exp_adj, mant)
+    #   m=1 -> 2^-9        : e'= -2? ... simpler: bf16 has plenty of range,
+    # subnormal e4m3 = m * 2^-9; as bf16 bits: built from fp32 path below.
+    # Normal: bf16 exp field = e - 7 + 127 = e + 120; mant7 = m << 4.
+    exp_field = e + 120 + scale_bytes - 127
+    bits = jnp.where(e == 0, 0, (jnp.clip(exp_field, 0, 255) << 7) | (m << 4))
+    v = _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
+    # Subnormal fallback (rare: only when data quantized to < 2^-6).
+    sub = (m.astype(jnp.float32) * (2.0 ** -9)) * e8m0_decode_f32(scale_bytes)
+    v = jnp.where(e == 0, sub.astype(jnp.bfloat16), v)
+    return jnp.where(sign == 1, -v, v)
+
+
+# ---------------------------------------------------------------------------
+# Block-scale computation (the quantizer cores)
+# ---------------------------------------------------------------------------
+
+QUEST_CONST = 2.92247856 / 6.0
+
+
+def mx_scale_quest(s1: jax.Array, s2: jax.Array, n: float) -> jax.Array:
+    """Quest/Quartet scale from group moments (pre pow2-floor).
+
+    ``s1`` = group sum, ``s2`` = group sum of squares, ``n`` = group size.
+    Mirrors epilogue_quant.h:520-535: population variance, guarded
+    against negative round-off, sqrt * (2.92247856/6) + 1e-8.
+    """
+    mean = s1 * (1.0 / n)
+    var = s2 * (1.0 / n) - mean * mean
+    return jnp.where(var >= 0.0, jnp.sqrt(jnp.maximum(var, 0.0)) * QUEST_CONST + 1e-8, 1.0)
+
+
+def mx_scale_absmax(amax: jax.Array) -> jax.Array:
+    """Abs-max scale (pre pow2-floor): amax + 1e-8 (epilogue_quant.h:548-570)."""
+    return amax + jnp.float32(1e-8)
+
+
+def nv_scale_quest(s1: jax.Array, s2: jax.Array) -> jax.Array:
+    """NVFP4 quest scale (group of 16), pre e4m3 cast.
+
+    epilogue_quant.h:1621-1649.  No negative-variance guard in the
+    reference: var < 0 yields NaN, whose e4m3 cast is NaN and zeros the
+    output group.
+    """
+    mean = s1 * (1.0 / 16.0)
+    var = s2 * (1.0 / 16.0) - mean * mean
+    return jnp.sqrt(var) * QUEST_CONST + 1e-8
+
+
+def nv_absmax_scale_bytes(amax: jax.Array, global_scale: jax.Array):
+    """NVFP4 abs-max (vLLM-compatible) scale: byte and output multiplier.
+
+    epilogue_quant.h:1650-1693:
+        SF      = e4m3(global_scale * amax / 6)
+        out_mul = SF != 0 ? 1 / (SF / global_scale) : 0
+    Returns (scale_byte int32, out_mul fp32).
+    """
+    sf = global_scale * (amax * (1.0 / 6.0))
+    byte = e4m3_rtne_bytes(sf)
+    sfq = e4m3_decode_f32(byte)
+    out_mul = jnp.where(sfq != 0.0, global_scale / sfq, 0.0)
+    out_mul = jnp.where(jnp.isnan(sfq), 0.0, out_mul)
+    return byte, out_mul
+
+
+def nv_quest_scale_bytes(s1: jax.Array, s2: jax.Array):
+    """NVFP4 quest scale byte and output multiplier (1/scale or 0)."""
+    scale = nv_scale_quest(s1, s2)
+    byte = e4m3_rtne_bytes(scale)
+    sq = e4m3_decode_f32(byte)
+    out_mul = jnp.where(sq > 0.0, 1.0 / sq, 0.0)
+    out_mul = jnp.where(jnp.isnan(sq), 0.0, out_mul)
+    return byte, out_mul
+
+
+def mxfp8_shared_exp_bytes(amax: jax.Array, shift: int = 7) -> jax.Array:
+    """MXFP8 double-quant shared exponent: floor(log2(amax)) - shift + 127.
+
+    quartet_bwd_sm120.cu:503-509 (``encode_e8m0_shiftm8`` semantics with
+    the -7 shift); amax == 0 maps to byte 127 (scale 1.0).
+    """
+    _, byte = pow2_floor_e8m0(amax)
+    return jnp.where(amax > 0.0, byte - shift, 127)

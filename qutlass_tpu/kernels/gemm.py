@@ -1,0 +1,161 @@
+"""Pallas TPU kernels: block-scaled GEMMs (MXFP4 / NVFP4 / MXFP8).
+
+One kernel family replaces the reference's CUTLASS block-scaled GEMMs
+(gemm.cu:40-434) *and* the hand-rolled small-batch "ada" PTX kernel
+(gemm_ada.cu, arch/mma_mx_sm120.h) — on TPU the same kernel covers both
+regimes via the tile table (kernels/tuning.py), and scales are consumed
+row-major with no swizzle (SURVEY.md §2.5/§2.6).
+
+Internal layout: operands are fed K-major ([K/2, M] packed nibbles,
+[K/gs, M] scale bytes) so that
+  * per-group scales broadcast along *sublanes* (cheap),
+  * fp4 nibble planes (even/odd K) decode without interleaving — the
+    contraction is order-invariant so even and odd planes are reduced by
+    two MXU calls per K block,
+  * dequantized values are exact bf16 (power-of-two e8m0 scales fold
+    into the exponent field; e4m3 x e2m1 products fit bf16's mantissa),
+    keeping the GEMM bit-identical to an fp64 dequantized matmul.
+Accumulation is fp32 in VMEM scratch across the K grid dimension.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import codecs as C
+from ..utils import ceil_div
+from .tuning import gemm_tiles
+
+
+def _expand_scales(sbytes_i32, group: int):
+    """[G, m] scale bytes -> [G*group, m] via sublane broadcast."""
+    g, m = sbytes_i32.shape
+    return jnp.broadcast_to(sbytes_i32[:, None, :], (g, group, m)).reshape(
+        g * group, m)
+
+
+def _dequant_fp4_planes_mx(pk_ref, sf_ref):
+    """Packed [bk/2, m] u8 + e8m0 [bk/32, m] -> (lo, hi) bf16 [bk/2, m]."""
+    v = pk_ref[...].astype(jnp.int32)
+    lo = v & 0xF
+    hi = (v >> 4) & 0xF
+    sexp = _expand_scales(sf_ref[...].astype(jnp.int32), 16)
+    return (C.e2m1_decode_scaled_bf16(lo, sexp),
+            C.e2m1_decode_scaled_bf16(hi, sexp))
+
+
+def _dequant_fp4_planes_nv(pk_ref, sf_ref):
+    """Packed fp4 + e4m3 scales [bk/16, m] -> (lo, hi) bf16 [bk/2, m]."""
+    v = pk_ref[...].astype(jnp.int32)
+    lo = v & 0xF
+    hi = (v >> 4) & 0xF
+    sf = C.e4m3_decode_f32(sf_ref[...].astype(jnp.int32))
+    sexp = _expand_scales(sf, 8)  # 8 packed bytes per 16-group
+    return ((C.e2m1_decode_f32(lo) * sexp).astype(jnp.bfloat16),
+            (C.e2m1_decode_f32(hi) * sexp).astype(jnp.bfloat16))
+
+
+_KDIM = (((0,), (0,)), ((), ()))  # contract sublane (K) dim of both operands
+
+
+def _gemm_fp4_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc,
+                     *, fmt):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    dq = _dequant_fp4_planes_mx if fmt == "mx" else _dequant_fp4_planes_nv
+    a_lo, a_hi = dq(a_ref, asf_ref)
+    b_lo, b_hi = dq(b_ref, bsf_ref)
+    acc[...] += (
+        jax.lax.dot_general(a_lo, b_lo, _KDIM, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(a_hi, b_hi, _KDIM, preferred_element_type=jnp.float32))
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _fin():
+        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
+
+
+def _gemm_fp8_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    sa = _expand_scales(asf_ref[...].astype(jnp.int32), 32)
+    sb = _expand_scales(bsf_ref[...].astype(jnp.int32), 32)
+    av = C.e4m3_decode_scaled_bf16(a_ref[...].astype(jnp.int32), sa)
+    bv = C.e4m3_decode_scaled_bf16(b_ref[...].astype(jnp.int32), sb)
+    acc[...] += jax.lax.dot_general(av, bv, _KDIM,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _fin():
+        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
+
+
+def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
+    """Launch a K-major block-scaled GEMM.  ``gs_pack`` = scale rows per bk."""
+    bm, bn, _ = gemm_tiles(m, n, k, packed=True)
+    grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
+    kp = at.shape[0]          # bk/2 for fp4, bk for fp8
+    bkp = kp * bk // k
+
+    alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bkp, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkp, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs_pack, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs_pack, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )(alpha2, at, bt, asft, bsft)
+
+
+@jax.jit
+def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
+    """Pallas W4A4 MXFP4 GEMM (reference gemm.cu:174-248 / gemm_ada.cu)."""
+    m, n = a.shape[0], b.shape[0]
+    k = a.shape[1] * 2
+    _, _, bk = gemm_tiles(m, n, k, packed=True)
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
+                     a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 32)
+
+
+@jax.jit
+def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
+    """Pallas NVFP4 GEMM (group 16, e4m3 scales; reference gemm.cu:250-326)."""
+    m, n = a.shape[0], b.shape[0]
+    k = a.shape[1] * 2
+    _, _, bk = gemm_tiles(m, n, k, packed=True)
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
+                     a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 16)
+
+
+@jax.jit
+def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha):
+    """Pallas MXFP8 GEMM TN (reference gemm.cu:328-386)."""
+    m, n, k = a.shape[0], b.shape[0], a.shape[1]
+    _, _, bk = gemm_tiles(m, n, k, packed=False)
+    return _run_gemm(_gemm_fp8_kernel, a.T, b.T, a_sf.T, b_sf.T, alpha,
+                     m, n, k, bk, bk // 32)
+
+
+@jax.jit
+def matmul_mxf8_bf16_nn(a, b, a_sf, b_sf, alpha):
+    """Pallas MXFP8 GEMM NN: ``a`` arrives K-major already (gemm.cu:388-434)."""
+    k, m = a.shape
+    n = b.shape[0]
+    _, _, bk = gemm_tiles(m, n, k, packed=False)
+    return _run_gemm(_gemm_fp8_kernel, a, b.T, a_sf.T, b_sf.T, alpha,
+                     m, n, k, bk, bk // 32)

@@ -1,0 +1,186 @@
+"""Pallas TPU kernels: fused rotation + block quantization.
+
+One kernel family replaces the reference's per-rotation-size CUTLASS
+template zoo (fused_quantize_{mx,nv}.cu + epilogue_quant.h, ~3k LoC):
+the rotation is lifted to a single 128x128 block-diagonal matrix
+``H128 = kron(I_{128/gs}, H)`` so every rotation size in {16,32,64,128}
+runs the same MXU matmul at full systolic-array width.
+
+In-kernel data layout: after the rotation matmul the tile is transposed
+to K-major ([K, rows]) so that
+  * quantization groups (32/16 along K) are *sublane* groups — cheap
+    VPU reductions and broadcasts,
+  * nibble packing is a sublane-pair ``pltpu.bitcast`` (u8 -> u16),
+  * mask-bit packing is a weighted sublane-group sum.
+This replaces the Blackwell scale-swizzle machinery entirely: scales are
+emitted row-major [rows, K/gs] (SURVEY.md §2.4 "TPU equivalent").
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import codecs as C
+from ..utils import ceil_div, round_up
+from .tuning import quantize_tiles
+
+
+def _rotate_tile(x, h128):
+    """[bm, bk] bf16 -> rotated f32 via one MXU matmul on 128-wide rows."""
+    bm, bk = x.shape
+    r = x.reshape(bm * bk // 128, 128)
+    xh = jnp.dot(r, h128, preferred_element_type=jnp.float32)
+    return xh.reshape(bm, bk)
+
+
+def _pack_sublane_pairs(codes_i32):
+    """e2m1 codes i32 [bk, bm] -> packed u8 [bk/2, bm] (row 2k low nibble)."""
+    u8 = codes_i32.astype(jnp.uint8)
+    u16 = pltpu.bitcast(u8, jnp.uint16).astype(jnp.int32)
+    return ((u16 & 0xF) | ((u16 >> 8) << 4)).astype(jnp.uint8)
+
+
+def _mask_bytes(q_abs_lt6, bk, bm):
+    """bool [bk, bm] -> packed mask u8 [bk/8, bm] (bit i = element 8j+i)."""
+    row = lax.broadcasted_iota(jnp.int32, (bk, bm), 0)
+    w = q_abs_lt6.astype(jnp.int32) << (row & 7)
+    return w.reshape(bk // 8, 8, bm).sum(axis=1).astype(jnp.uint8)
+
+
+def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest, method, emit_mask):
+    mask_ref = rest[0] if emit_mask else None
+    bm, bk = x_ref.shape
+    xh = _rotate_tile(x_ref[...], h_ref[...])
+    xt = xh.T                                   # [bk, bm] f32, K on sublanes
+    g = xt.reshape(bk // 32, 32, bm)
+
+    if method == "quest":
+        s1 = jnp.sum(g, axis=1)
+        s2 = jnp.sum(g * g, axis=1)
+        scale = C.mx_scale_quest(s1, s2, 32.0)
+    else:
+        scale = C.mx_scale_absmax(jnp.max(jnp.abs(g), axis=1))
+
+    scale_f, byte = C.pow2_floor_e8m0(scale)    # [bk/32, bm]
+    q = (g / scale_f[:, None, :]).reshape(bk, bm)
+    if method != "quest":
+        q = q * 3.0
+
+    codes = C.e2m1_rtne_codes(q)
+    q_ref[...] = _pack_sublane_pairs(codes).T   # [bm, bk/2]
+    s_ref[...] = byte.astype(jnp.uint8).T       # [bm, bk/32]
+    if emit_mask:
+        mask_ref[...] = _mask_bytes(jnp.abs(q) < 6.0, bk, bm).T
+
+
+def _quantize_nv_kernel(gs_ref, x_ref, h_ref, q_ref, s_ref, *, method):
+    bm, bk = x_ref.shape
+    xh = _rotate_tile(x_ref[...], h_ref[...])
+    xt = xh.T
+    g = xt.reshape(bk // 16, 16, bm)
+
+    if method == "quest":
+        s1 = jnp.sum(g, axis=1)
+        s2 = jnp.sum(g * g, axis=1)
+        byte, mul = C.nv_quest_scale_bytes(s1, s2)
+    else:
+        amax = jnp.max(jnp.abs(g), axis=1)
+        byte, mul = C.nv_absmax_scale_bytes(amax, gs_ref[0, 0])
+
+    q = (g * mul[:, None, :]).reshape(bk, bm)
+    codes = C.e2m1_rtne_codes(q)
+    q_ref[...] = _pack_sublane_pairs(codes).T
+    s_ref[...] = byte.astype(jnp.uint8).T
+
+
+def _h128(h: jax.Array, rot_size: int) -> jax.Array:
+    """Lift [gs, gs] rotation to the 128x128 block-diagonal operand."""
+    reps = 128 // rot_size
+    if reps == 1:
+        return h.astype(jnp.bfloat16)
+    return jnp.kron(jnp.eye(reps, dtype=jnp.bfloat16), h.astype(jnp.bfloat16))
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size", "method", "return_mask"))
+def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
+                      method: str = "quest", return_mask: bool = False):
+    """Pallas fused MXFP4 quantize.  Same contract as the emulation op.
+
+    Reference: fusedQuantizeMx (qutlass/__init__.py:149-180),
+    epilogue math epilogue_quant.h:462-575.
+    """
+    k = a.shape[-1]
+    rows = a.size // k
+    x2 = a.reshape(rows, k)
+    bm, bk = quantize_tiles(rows, k)
+    grid = (ceil_div(rows, bm), k // bk)
+    pr, pc = round_up(rows, 128), round_up(k // 32, 4)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8),
+        jax.ShapeDtypeStruct((pr, pc), jnp.uint8),
+    ]
+    out_specs = [
+        pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, bk // 32), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    ]
+    if return_mask:
+        out_shapes.append(jax.ShapeDtypeStruct((rows, k // 8), jnp.uint8))
+        out_specs.append(pl.BlockSpec((bm, bk // 8), lambda i, j: (i, j),
+                                      memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_quantize_mx_kernel, method=method,
+                          emit_mask=return_mask),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(x2, _h128(h, rot_size))
+
+    packed = res[0].reshape(*a.shape[:-1], k // 2)
+    if return_mask:
+        return packed, res[1], res[2].reshape(*a.shape[:-1], k // 8)
+    return packed, res[1]
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
+                      rot_size: int, method: str = "abs_max"):
+    """Pallas fused NVFP4 quantize (group 16, e4m3 scale bytes)."""
+    k = a.shape[-1]
+    rows = a.size // k
+    x2 = a.reshape(rows, k)
+    bm, bk = quantize_tiles(rows, k)
+    grid = (ceil_div(rows, bm), k // bk)
+    pr, pc = round_up(rows, 128), round_up(k // 16, 4)
+
+    gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+
+    res = pl.pallas_call(
+        functools.partial(_quantize_nv_kernel, method=method),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk // 16), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((pr, pc), jnp.uint8),
+        ],
+    )(gs, x2, _h128(h, rot_size))
+
+    return res[0].reshape(*a.shape[:-1], k // 2), res[1]

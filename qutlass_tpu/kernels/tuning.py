@@ -1,0 +1,58 @@
+"""Tile-size selection tables.
+
+The reference keys CUTLASS tile shapes on problem M and compile-time
+arch (gemm.cu:193-244).  Here the table keys on the TPU generation
+(``jax.devices()[0].device_kind``) and problem shape; entries were tuned
+on v5e and are safe defaults elsewhere.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+
+from ..utils import largest_divisor_multiple
+
+
+@lru_cache(maxsize=1)
+def device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+def quantize_tiles(rows: int, k: int) -> tuple[int, int]:
+    """(bm, bk) for the fused-quantize kernel. K % 128 == 0 required."""
+    bk = largest_divisor_multiple(k, 128, 2048)
+    if rows >= 256:
+        bm = 256
+    elif rows >= 128:
+        bm = 128
+    else:
+        bm = max(8, min(256, -(-rows // 8) * 8))
+    # keep the fp32 intermediate under ~2.5 MB
+    while bm > 8 and bm * bk * 4 > 2_621_440:
+        bm //= 2
+    return bm, bk
+
+
+def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
+    """(bm, bn, bk) for the block-scaled GEMMs.
+
+    Small-M (decode) shapes take narrow M tiles — the role the
+    reference's separate "ada" kernel plays (gemm_ada.cu:29-135).
+    """
+    del packed
+    # M/N live on the lane dim of the K-major operand tiles: a block's
+    # lane size must be 128-divisible or equal to the whole array dim.
+    if m < 128:
+        bm = m
+    else:
+        bm = 256 if (m % 256 == 0 or m > 512) else 128
+    if n < 128:
+        bn = n
+    else:
+        bn = 256 if (n % 256 == 0 or n > 512) else 128
+    bk = largest_divisor_multiple(k, 128, 1024)
+    return bm, bn, bk
