@@ -1,0 +1,108 @@
+"""Headline benchmark — MXFP4 W4A4 quantized linear vs bf16 on TPU.
+
+Mirrors the reference protocol (benchmarks/bench_mxfp4_sm120.py:161-178):
+Qwen3-32B layer geometry, Hadamard-32 rotation, activation path =
+fusedQuantizeMx -> matmul_mxf4_bf16_tn with pre-quantized weights,
+TFLOP/s = 2*M*N*K/t, swept over M.
+
+Prints ONE JSON line:
+  metric      mxfp4_w4a4_linear_speedup_vs_bf16_geomean
+  value       geometric-mean speedup of the quantized linear over the
+              bf16 linear across the M sweep (higher is better)
+  vs_baseline same number (the reference's own headline is this ratio
+              on its hardware; no absolute numbers are published —
+              BASELINE.md)
+Per-shape details go to stderr.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import ml_dtypes
+
+    sys.path.insert(0, "/root/repo")
+    from qutlass_tpu.ops import pallas_ops as P
+    from qutlass_tpu.ops import dispatch
+
+    on_tpu = dispatch.on_tpu()
+    log(f"platform={jax.default_backend()} device={jax.devices()[0].device_kind}")
+
+    ITERS = 50 if on_tpu else 3
+
+    def bench_scan(op, iters=ITERS):
+        """Seconds/iter, measured on-device via a dependency-chained scan
+        (per-op dispatch through the remote tunnel is not timeable)."""
+        @jax.jit
+        def loop(dep):
+            def body(c, _):
+                out = op(c)
+                return out.ravel()[:1].astype(jnp.float32) * 1e-30, None
+            c, _ = lax.scan(body, dep, None, length=iters)
+            return c
+        d = jnp.zeros((1,), jnp.float32)
+        loop(d).block_until_ready()
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            loop(d).block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    rng = np.random.default_rng(0)
+    hm = np.array([[1.0]])
+    while hm.shape[0] < 32:
+        hm = np.block([[hm, hm], [hm, -hm]])
+    h = jnp.asarray(hm * 32 ** -0.5, jnp.bfloat16)
+    one = jnp.ones((1,), jnp.float32)
+
+    # Qwen3-32B layer (reference bench geometry), M sweep
+    N, K = 5120, 5120
+    MS = [16, 64, 256, 1024, 2048] if on_tpu else [16, 64]
+
+    w = jnp.asarray((rng.standard_normal((N, K)) * 0.05).astype(ml_dtypes.bfloat16))
+    wq, wsf = P.fused_quantize_mx(w, h, rot_size=32, method="quest")
+    wsf = wsf[:N, : K // 32]
+    wT = w.T
+
+    speedups = []
+    for M in MS:
+        a = jnp.asarray((rng.standard_normal((M, K))).astype(ml_dtypes.bfloat16))
+
+        def quant_linear(d):
+            x = a + d.astype(jnp.bfloat16)
+            xq, xs = P.fused_quantize_mx(x, h, rot_size=32, method="quest")
+            return P.matmul_mxf4_bf16_tn(xq, wq, xs[:M, : K // 32], wsf, one)
+
+        def bf16_linear(d):
+            return (a + d.astype(jnp.bfloat16)) @ wT
+
+        tq = bench_scan(quant_linear)
+        tb = bench_scan(bf16_linear)
+        s = tb / tq
+        speedups.append(s)
+        tf = 2 * M * N * K / tq / 1e12
+        log(f"M={M:5d}: mxfp4 {tq*1e6:9.1f}us ({tf:6.2f} TF/s) "
+            f"bf16 {tb*1e6:9.1f}us  speedup {s:5.2f}x")
+
+    geomean = float(np.exp(np.mean(np.log(speedups))))
+    print(json.dumps({
+        "metric": "mxfp4_w4a4_linear_speedup_vs_bf16_geomean",
+        "value": round(geomean, 4),
+        "unit": "x",
+        "vs_baseline": round(geomean, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

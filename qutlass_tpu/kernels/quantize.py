@@ -72,10 +72,13 @@ def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest, method, emit_mask):
         q = q * 3.0
 
     codes = C.e2m1_rtne_codes(q)
-    q_ref[...] = _pack_sublane_pairs(codes).T   # [bm, bk/2]
-    s_ref[...] = byte.astype(jnp.uint8).T       # [bm, bk/32]
+    q_ref[...] = _pack_sublane_pairs(codes).T   # [bm, bk/2] row-major
+    # scales/mask are emitted K-major ([K/32, rows]): their lane dims in
+    # row-major blocks (bk/32, bk/8) would violate Mosaic's 128-lane
+    # divisibility; K-major is also the layout the Pallas GEMM consumes.
+    s_ref[...] = byte.astype(jnp.uint8)         # [bk/32, bm]
     if emit_mask:
-        mask_ref[...] = _mask_bytes(jnp.abs(q) < 6.0, bk, bm).T
+        mask_ref[...] = _mask_bytes(jnp.abs(q) < 6.0, bk, bm)  # [bk/8, bm]
 
 
 def _quantize_nv_kernel(gs_ref, x_ref, h_ref, q_ref, s_ref, *, method):
@@ -95,7 +98,16 @@ def _quantize_nv_kernel(gs_ref, x_ref, h_ref, q_ref, s_ref, *, method):
     q = (g * mul[:, None, :]).reshape(bk, bm)
     codes = C.e2m1_rtne_codes(q)
     q_ref[...] = _pack_sublane_pairs(codes).T
-    s_ref[...] = byte.astype(jnp.uint8).T
+    s_ref[...] = byte.astype(jnp.uint8)         # K-major [bk/16, bm]
+
+
+def _pad_scales(sc: jax.Array, pr: int, pc: int) -> jax.Array:
+    """Place [rows, cols] scale bytes into the x128/x4 padded buffer."""
+    rows, cols = sc.shape
+    if (rows, cols) == (pr, pc):
+        return sc
+    out = jnp.zeros((pr, pc), jnp.uint8)
+    return lax.dynamic_update_slice(out, sc, (0, 0))
 
 
 def _h128(h: jax.Array, rot_size: int) -> jax.Array:
@@ -123,15 +135,15 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
 
     out_shapes = [
         jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8),
-        jax.ShapeDtypeStruct((pr, pc), jnp.uint8),
+        jax.ShapeDtypeStruct((k // 32, rows), jnp.uint8),   # K-major
     ]
     out_specs = [
         pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, bk // 32), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 32, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
     if return_mask:
-        out_shapes.append(jax.ShapeDtypeStruct((rows, k // 8), jnp.uint8))
-        out_specs.append(pl.BlockSpec((bm, bk // 8), lambda i, j: (i, j),
+        out_shapes.append(jax.ShapeDtypeStruct((k // 8, rows), jnp.uint8))
+        out_specs.append(pl.BlockSpec((bk // 8, bm), lambda i, j: (j, i),
                                       memory_space=pltpu.VMEM))
 
     res = pl.pallas_call(
@@ -147,9 +159,10 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
     )(x2, _h128(h, rot_size))
 
     packed = res[0].reshape(*a.shape[:-1], k // 2)
+    scales = _pad_scales(res[1].T, pr, pc)
     if return_mask:
-        return packed, res[1], res[2].reshape(*a.shape[:-1], k // 8)
-    return packed, res[1]
+        return packed, scales, res[2].T.reshape(*a.shape[:-1], k // 8)
+    return packed, scales
 
 
 @functools.partial(jax.jit, static_argnames=("rot_size", "method"))
@@ -175,12 +188,12 @@ def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
         ],
         out_specs=[
             pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bk // 16), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 16, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8),
-            jax.ShapeDtypeStruct((pr, pc), jnp.uint8),
+            jax.ShapeDtypeStruct((k // 16, rows), jnp.uint8),   # K-major
         ],
     )(gs, x2, _h128(h, rot_size))
 
-    return res[0].reshape(*a.shape[:-1], k // 2), res[1]
+    return res[0].reshape(*a.shape[:-1], k // 2), _pad_scales(res[1].T, pr, pc)

@@ -23,16 +23,23 @@ def device_kind() -> str:
 
 
 def quantize_tiles(rows: int, k: int) -> tuple[int, int]:
-    """(bm, bk) for the fused-quantize kernel. K % 128 == 0 required."""
-    bk = largest_divisor_multiple(k, 128, 2048)
+    """(bm, bk) for the fused-quantize kernel.  K % 128 == 0 required.
+
+    bk must be a multiple of 256 (so the packed-output lane dim bk/2 is
+    128-divisible) or the whole K (block == array dim is always legal).
+    """
+    if k % 256 == 0:
+        bk = largest_divisor_multiple(k, 256, 4096)
+    else:
+        bk = k
     if rows >= 256:
         bm = 256
     elif rows >= 128:
         bm = 128
     else:
-        bm = max(8, min(256, -(-rows // 8) * 8))
+        bm = rows
     # keep the fp32 intermediate under ~2.5 MB
-    while bm > 8 and bm * bk * 4 > 2_621_440:
+    while bm > 8 and bm % 2 == 0 and bm * bk * 4 > 2_621_440:
         bm //= 2
     return bm, bk
 

@@ -1,0 +1,223 @@
+"""Decoder-only transformer family (Qwen3 / Llama-3.1 geometries) with
+MXFP4 W4A4 quantized linear layers.
+
+This is the end-to-end integration layer the reference delegates to HF
+Transformers / vLLM (README.md:50-51, 152-168): every linear projection
+(q/k/v/o, gate/up/down, lm head) can run through the fused
+quantize + block-scaled GEMM path, giving the Qwen3-8B-style prefill
+benchmark a first-class in-repo harness.
+
+Design: plain functional JAX (params = pytree of bf16 arrays), static
+config, jit/pjit friendly.  Qwen3 enables per-head QK-RMSNorm; Llama
+does not.  Weight layout matches HF naming conventions to ease
+checkpoint import.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import qutlass_tpu as q
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 151_936
+    hidden_size: int = 4096
+    intermediate_size: int = 12_288
+    num_layers: int = 36
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    qk_norm: bool = True           # Qwen3 style; False for Llama
+    tie_embeddings: bool = False
+
+
+QWEN3_8B = ModelConfig()
+QWEN3_14B = ModelConfig(hidden_size=5120, intermediate_size=17_408,
+                        num_layers=40, num_heads=40)
+QWEN3_32B = ModelConfig(hidden_size=5120, intermediate_size=25_600,
+                        num_layers=64, num_heads=64)
+LLAMA31_8B = ModelConfig(vocab_size=128_256, hidden_size=4096,
+                         intermediate_size=14_336, num_layers=32,
+                         num_heads=32, num_kv_heads=8, head_dim=128,
+                         rope_theta=500_000.0, qk_norm=False)
+LLAMA31_70B = ModelConfig(vocab_size=128_256, hidden_size=8192,
+                          intermediate_size=28_672, num_layers=80,
+                          num_heads=64, num_kv_heads=8, head_dim=128,
+                          rope_theta=500_000.0, qk_norm=False)
+
+
+def tiny_config(**kw) -> ModelConfig:
+    """Small config for tests / dry runs (shapes stay kernel-legal)."""
+    base = dict(vocab_size=512, hidden_size=256, intermediate_size=512,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+                qk_norm=True)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16):
+    """Random-initialized parameter pytree (HF-style naming)."""
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(k, out_dim, in_dim):
+        return (jax.random.normal(k, (out_dim, in_dim), jnp.float32)
+                * (in_dim ** -0.5)).astype(dtype)
+
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        ks = jax.random.split(keys[i], 8)
+        layer = {
+            "input_norm": jnp.ones((cfg.hidden_size,), dtype),
+            "post_attn_norm": jnp.ones((cfg.hidden_size,), dtype),
+            "q_proj": dense(ks[0], qd, cfg.hidden_size),
+            "k_proj": dense(ks[1], kvd, cfg.hidden_size),
+            "v_proj": dense(ks[2], kvd, cfg.hidden_size),
+            "o_proj": dense(ks[3], cfg.hidden_size, qd),
+            "gate_proj": dense(ks[4], cfg.intermediate_size, cfg.hidden_size),
+            "up_proj": dense(ks[5], cfg.intermediate_size, cfg.hidden_size),
+            "down_proj": dense(ks[6], cfg.hidden_size, cfg.intermediate_size),
+        }
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
+            layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
+        layers.append(layer)
+
+    params = {
+        "embed": (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.hidden_size),
+                                    jnp.float32) * 0.02).astype(dtype),
+        "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(keys[-1], cfg.vocab_size, cfg.hidden_size)
+    return params
+
+
+def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
+                           method: str = "quest"):
+    """Pre-quantize every linear weight to MXFP4 (packed + scales).
+
+    Returns a params-like pytree where each ``*_proj`` becomes
+    ``(wq, ws, n, k)``.  The lm head stays bf16 (standard practice).
+    """
+    def quant(w):
+        n, k = w.shape
+        wq, ws = q.fusedQuantizeMx(w, h, method=method)
+        return {"wq": wq, "ws": ws[:n, : k // 32]}
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                     "gate_proj", "up_proj", "down_proj"):
+            ql[name] = quant(layer[name])
+        out["layers"].append(ql)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rope(x, positions, theta):
+    """Rotary embedding over the last dim of [..., T, H, D]."""
+    d = x.shape[-1]
+    inv = 1.0 / (theta ** (np.arange(0, d, 2) / d))
+    ang = positions[:, None].astype(jnp.float32) * inv[None, :]
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+def _linear(x, w, h, method, quantized: bool):
+    """Apply a (possibly quantized) linear to [..., K]."""
+    if not quantized:
+        return jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+    wq, ws = w["wq"], w["ws"]
+    n, k = wq.shape[0], wq.shape[1] * 2
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    xq, xs = q.fusedQuantizeMx(x2, h, method=method)
+    y = q.matmul_mxf4_bf16_tn(xq, wq, xs[:m, : k // 32], ws,
+                              jnp.ones((1,), jnp.float32))
+    return y.reshape(*x.shape[:-1], n)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method"))
+def forward(cfg: ModelConfig, params, tokens: jax.Array, h: jax.Array = None,
+            *, quantized: bool = False, method: str = "quest"):
+    """Prefill forward: tokens [B, T] int32 -> logits [B, T, vocab].
+
+    ``quantized=True`` expects params from :func:`quantize_model_weights`
+    and runs every projection through the MXFP4 W4A4 path.
+    """
+    b, t = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.arange(t)
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    for layer in params["layers"]:
+        xin = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+        qh = _linear(xin, layer["q_proj"], h, method, quantized)
+        kh = _linear(xin, layer["k_proj"], h, method, quantized)
+        vh = _linear(xin, layer["v_proj"], h, method, quantized)
+        qh = qh.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        kh = kh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        vh = vh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            qh = _rms_norm(qh, layer["q_norm"], cfg.rms_eps)
+            kh = _rms_norm(kh, layer["k_norm"], cfg.rms_eps)
+        qh = _rope(qh, positions, cfg.rope_theta)
+        kh = _rope(kh, positions, cfg.rope_theta)
+
+        rep = cfg.num_heads // cfg.num_kv_heads
+        kh = jnp.repeat(kh, rep, axis=2)
+        vh = jnp.repeat(vh, rep, axis=2)
+
+        scores = jnp.einsum("bthd,bshd->bhts", qh.astype(jnp.float32),
+                            kh.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
+        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhts,bshd->bthd", probs,
+                          vh.astype(jnp.float32)).astype(x.dtype)
+        attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
+        x = x + _linear(attn, layer["o_proj"], h, method, quantized)
+
+        xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+        gate = _linear(xin, layer["gate_proj"], h, method, quantized)
+        up = _linear(xin, layer["up_proj"], h, method, quantized)
+        act = (jax.nn.silu(gate.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(x.dtype)
+        x = x + _linear(act, layer["down_proj"], h, method, quantized)
+
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head", params["embed"])
+    logits = jax.lax.dot_general(x, head, (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    return logits

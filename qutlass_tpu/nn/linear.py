@@ -1,0 +1,173 @@
+"""Quantized linear layers: MXFP4 W4A4 inference + Quartet QAT training.
+
+The training flow wires the reference's op graph (SURVEY.md §3.4,
+assembled from qutlass/__init__.py ops and tests/quartet_test.py):
+
+    forward:  xq, xs, mask = fusedQuantizeMx(x,  H, quest, mask)
+              wq, ws       = fusedQuantizeMx(w,  H, quest)
+              y  = matmul_mxf4_bf16_tn(xq, wq, xs, ws, 1.0)
+    backward: gq, g_row, g_col = backward_bf16_square_double_mxfp8(dY)
+              w8, w8s = mxfp4_transpose_mxfp8(wq, ws)      # W^T -> MXFP8
+              dXh = matmul_mxf8_bf16_tn(gq, w8, g_row, w8s)  # [M, K] rotated
+              dX  = (dXh * clip_mask) @ H_blockdiag^T        # Quartet STE
+              x8, x8s = mxfp4_transpose_mxfp8(xq, xs)      # X^T -> MXFP8
+              dWh = matmul_mxf8_bf16_nn(gq, x8, g_col, x8s)  # [N, K] rotated
+              dW  = dWh @ H_blockdiag^T
+
+Both weight and activation gradients flow through ``jax.grad`` with a
+single ``custom_vjp``; everything quantized stays in uint8 on device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+import qutlass_tpu as q
+from ..utils import round_up
+
+
+def _unrotate(g: jax.Array, h: jax.Array) -> jax.Array:
+    """Apply the inverse (transpose) rotation per contiguous gs-chunk."""
+    rot = h.shape[-1]
+    gr = g.reshape(-1, rot).astype(jnp.float32)
+    ht = h.reshape(rot, rot).astype(jnp.float32).T
+    out = jax.lax.dot_general(gr, ht, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.reshape(g.shape)
+
+
+def _unpack_mask_bits(mask: jax.Array, k: int) -> jax.Array:
+    """uint8 [..., K/8] -> f32 0/1 [..., K] (bit i of byte j = elem 8j+i)."""
+    m = mask.astype(jnp.int32)
+    bits = jnp.stack([(m >> i) & 1 for i in range(8)], axis=-1)
+    return bits.reshape(*mask.shape[:-1], k).astype(jnp.float32)
+
+
+def quantize_weights_mx(w: jax.Array, h: jax.Array, method: str = "quest"):
+    """Quantize a weight matrix [N, K] once (cache for inference/training)."""
+    wq, ws = q.fusedQuantizeMx(w, h, method=method)
+    return wq, ws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def quartet_linear(x: jax.Array, w: jax.Array, h: jax.Array,
+                   method: str = "quest") -> jax.Array:
+    """y = q(x·H) @ q(w·H)^T with Quartet MXFP4 W4A4 quantization.
+
+    x: [M, K] bf16, w: [N, K] bf16, h: [gs, gs] rotation.
+    Differentiable in x and w (MXFP8 backward GEMMs, clip-mask STE).
+    """
+    y, _ = _quartet_fwd_impl(x, w, h, method)
+    return y
+
+
+def _quartet_fwd_impl(x, w, h, method):
+    m, k = x.shape
+    n = w.shape[0]
+    if method == "quest":
+        xq, xs, mask = q.fusedQuantizeMx(x, h, method=method, return_mask=True)
+    else:
+        xq, xs = q.fusedQuantizeMx(x, h, method=method)
+        mask = None
+    wq, ws = q.fusedQuantizeMx(w, h, method=method)
+    alpha = jnp.full((1,), 1.0 if method == "quest" else 1.0 / 9.0, jnp.float32)
+    y = q.matmul_mxf4_bf16_tn(xq, wq, xs, ws, alpha)
+    return y, (xq, xs[:m, :k // 32], mask, wq, ws[:n, :k // 32])
+
+
+def _quartet_fwd(x, w, h, method):
+    y, res = _quartet_fwd_impl(x, w, h, method)
+    return y, (res, h, x.shape, w.shape)
+
+
+def _quartet_bwd(method, carry, gy):
+    (xq, xs, mask, wq, ws), h, xshape, wshape = carry
+    m, k = xshape
+    n = wshape[0]
+    gy = gy.astype(jnp.bfloat16)
+
+    gq, g_row, g_col = q.backward_bf16_square_double_mxfp8(gy)
+    one = jnp.ones((1,), jnp.float32)
+
+    # dgrad: dXh = dY @ dq(wq)  -> mask STE -> unrotate
+    w8, w8s = q.mxfp4_transpose_mxfp8(wq, ws)            # [K, Np] fp8
+    npad = w8.shape[1]
+    mpad = gq.shape[0]
+    if npad != n:  # gq columns must match the padded contraction dim
+        gq_d = jnp.zeros((mpad, npad), jnp.uint8).at[:, :n].set(gq)
+        g_row_d = jnp.full((mpad, npad // 32), 127, jnp.uint8).at[
+            :, : n // 32].set(g_row[:, : n // 32])
+    else:
+        gq_d, g_row_d = gq, g_row
+    dxh = q.matmul_mxf8_bf16_tn(gq_d, w8, g_row_d, w8s, one)[:m]
+    if method == "quest":
+        dxh = dxh.astype(jnp.float32) * _unpack_mask_bits(mask, k)
+    dx = _unrotate(dxh.astype(jnp.float32), h).astype(jnp.bfloat16)
+
+    # wgrad: dWh = dY^T @ dq(xq) -> unrotate
+    x8, x8s = q.mxfp4_transpose_mxfp8(xq, xs)            # [K, Mp] fp8
+    mp2 = x8.shape[1]
+    if mp2 != mpad:  # align padded M between the two quantizations
+        if mp2 > mpad:
+            gq_w = jnp.zeros((mp2, n), jnp.uint8).at[:mpad].set(gq[:, :n])
+            g_col_w = jnp.full((n, mp2 // 32), 127, jnp.uint8).at[
+                :, : mpad // 32].set(g_col[:n])
+        else:
+            gq_w, g_col_w = gq[:mp2, :n], g_col[:n, : mp2 // 32]
+    else:
+        gq_w, g_col_w = gq[:, :n], g_col[:n]
+    dwh = q.matmul_mxf8_bf16_nn(gq_w, x8, g_col_w, x8s, one)
+    dw = _unrotate(dwh.astype(jnp.float32), h).astype(jnp.bfloat16)
+
+    return dx, dw, jnp.zeros_like(h)
+
+
+quartet_linear.defvjp(_quartet_fwd, _quartet_bwd)
+
+
+def quartet_linear_reference_flow(x, w, h, method: str = "quest"):
+    """Non-differentiable forward (inference): pre-quantized weight path."""
+    xq, xs = q.fusedQuantizeMx(x, h, method=method)
+    wq, ws = q.fusedQuantizeMx(w, h, method=method)
+    return q.matmul_mxf4_bf16_tn(xq, wq, xs, ws, jnp.ones((1,), jnp.float32))
+
+
+class QuantizedLinear:
+    """Functional MXFP4 W4A4 linear with a cached quantized weight.
+
+    Usage:
+        lin = QuantizedLinear.create(w, h)        # quantize once
+        y = lin(x)                                # prefill/decode
+    This is the inference-path analogue of the reference's HF-integration
+    layer swap (README.md:50-51).
+    """
+
+    def __init__(self, wq, ws, h, n, k, method="quest"):
+        self.wq, self.ws, self.h = wq, ws, h
+        self.n, self.k = n, k
+        self.method = method
+
+    @classmethod
+    def create(cls, w: jax.Array, h: jax.Array, method: str = "quest"):
+        n, k = w.shape
+        wq, ws = quantize_weights_mx(w, h, method)
+        return cls(wq, ws[:n, : k // 32], h, n, k, method)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shape = x.shape
+        x2 = x.reshape(-1, self.k)
+        m = x2.shape[0]
+        xq, xs = q.fusedQuantizeMx(x2, self.h, method=self.method)
+        y = q.matmul_mxf4_bf16_tn(xq, self.wq, xs[:m, : self.k // 32], self.ws,
+                                  jnp.ones((1,), jnp.float32))
+        return y.reshape(*shape[:-1], self.n)
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedLinear,
+    lambda l: ((l.wq, l.ws, l.h), (l.n, l.k, l.method)),
+    lambda aux, ch: QuantizedLinear(ch[0], ch[1], ch[2], aux[0], aux[1], aux[2]),
+)

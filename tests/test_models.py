@@ -1,0 +1,54 @@
+"""Model-integration tests: tiny transformer forward, bf16 vs MXFP4."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qutlass_tpu.models import (forward, init_params, quantize_model_weights,
+                                tiny_config)
+from helpers import bf16_hadamard
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0,
+                                cfg.vocab_size)
+    return cfg, params, tokens
+
+
+def test_bf16_forward(setup):
+    cfg, params, tokens = setup
+    logits = forward(cfg, params, tokens)
+    assert logits.shape == (2, 64, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantized_forward_matches_bf16(setup):
+    cfg, params, tokens = setup
+    h = bf16_hadamard(32)
+    qparams = quantize_model_weights(cfg, params, h)
+    ref = forward(cfg, params, tokens)
+    out = forward(cfg, qparams, tokens, h, quantized=True)
+    assert out.shape == ref.shape
+    # random-init weights carry no signal above the W4A4 quantization
+    # noise floor, and noise compounds over 14 quantized projections —
+    # 0.6+ on logits indicates the pipeline is wired correctly (trained
+    # checkpoints sit far above this; per-linear cosine is >0.97,
+    # tests/test_linear.py)
+    assert _cos(out, ref) > 0.6, _cos(out, ref)
+
+
+def test_llama_style_config(setup):
+    cfg = tiny_config(qk_norm=False)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    logits = forward(cfg, params, tokens)
+    assert logits.shape == (1, 16, cfg.vocab_size)
