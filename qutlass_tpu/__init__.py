@@ -33,7 +33,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "fusedQuantizeMx", "fusedQuantizeNv",
-    "matmul_mxf4_bf16_tn", "matmul_ada_mxf4_bf16_tn", "matmul_nvf4_bf16_tn",
+    "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor",
+    "matmul_ada_mxf4_bf16_tn", "matmul_nvf4_bf16_tn",
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
@@ -97,13 +98,17 @@ def _route(shape_ok: bool):
 # ---------------------------------------------------------------------------
 
 def fusedQuantizeMx(a: jax.Array, h: jax.Array, *, method: str = "quest",
-                    return_mask: bool = False):
+                    return_mask: bool = False, layout: str = "rowmajor"):
     """Fused rotation + MXFP4 quantization.
 
     a: [..., K] bf16; h: [r, r] rotation (Hadamard/identity), r in
     {16,32,64,128}, K % r == 0, K % 32 == 0.
     Returns (e2m1 u8 [..., K/2], e8m0 u8 [pad_rows, pad_cols]
     [, clip_mask u8 [..., K/8]]).  Reference: qutlass/__init__.py:149-180.
+
+    ``layout="kmajor"`` returns the TPU GEMM-native layout instead:
+    (e2m1 u8 [K/2, rows], e8m0 u8 [K/32, rows][, mask u8 [K/8, rows]]),
+    unpadded — feed directly to :func:`matmul_mxf4_bf16_kmajor`.
     """
     if method not in ("quest", "abs_max"):
         raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
@@ -114,7 +119,8 @@ def fusedQuantizeMx(a: jax.Array, h: jax.Array, *, method: str = "quest",
     assert k % rot == 0 and k % 32 == 0, (k, rot)
     kn = _route(k % 128 == 0)
     impl = kn.fused_quantize_mx if kn else _emu.fused_quantize_mx
-    return impl(a, h, rot_size=rot, method=method, return_mask=return_mask)
+    return impl(a, h, rot_size=rot, method=method, return_mask=return_mask,
+                layout=layout)
 
 
 def fusedQuantizeNv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
@@ -156,6 +162,20 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
     kn = None if backend == "emulation" else _route(k % 128 == 0)
     impl = kn.matmul_mxf4_bf16_tn if kn else _emu.matmul_mxf4_bf16_tn
     return impl(a, b, a_sf, b_sf, alpha)
+
+
+def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+    """K-major MXFP4 GEMM — zero layout transforms on TPU.
+
+    Operands come from ``fusedQuantizeMx(..., layout="kmajor")``:
+    at u8 [K/2, M], bt u8 [K/2, N], scales u8 [K/32, M] / [K/32, N].
+    This is the production path for quantized linear layers.
+    """
+    k = at.shape[0] * 2
+    kn = _route(k % 128 == 0)
+    impl = kn.matmul_mxf4_bf16_kmajor if kn else _emu.matmul_mxf4_bf16_kmajor
+    return impl(_as_bytes(at), _as_bytes(bt), _as_bytes(a_sft),
+                _as_bytes(b_sft), alpha)
 
 
 def matmul_ada_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):

@@ -91,24 +91,23 @@ def e2m1_decode_scaled_bf16(codes: jax.Array, scale_bytes: jax.Array) -> jax.Arr
     on the bf16 exponent field, which keeps the whole dequant in int ops
     until one final bitcast — exact, and fast on the VPU.
 
-    Exponent-field overflow/underflow is clamped (cannot occur for scales
-    produced by the quantizers on finite bf16 data).
+    Exponent-field underflow flushes to zero; overflow (scale byte near
+    254) is out of range for scales produced by the quantizers on finite
+    bf16 data and is not guarded.
     """
+    # bf16 bits of grid[mag] * 2^(scale-127):
+    #   mag==0          -> 0
+    #   mag==1 (0.5)    -> (scale-1) << 7          [2^(scale-128)]
+    #   mag>=2          -> ((e+scale-1) << 7) | (m << 6)
+    # The mag==1 case coincides with the mag>=2 formula at e=0, m'=0, so
+    # a single expression covers everything nonzero with
+    # m' = m & (e != 0):
     mag = codes & 7
-    sign = (codes >> 3) & 1
     e = mag >> 1
-    m = mag & 1
-    # bf16 bits of the unscaled value: exponent field and mantissa bit.
-    # value = 2^(scale-127) * grid[mag]
-    #   e==0, m==0 -> 0
-    #   e==0, m==1 -> 0.5  => exp field 126
-    #   e>=1       -> (1+m/2)*2^(e-1) => exp field 126+e, mant bit m<<6
-    exp_field = jnp.where(e == 0, 126, 126 + e) + scale_bytes - 127
-    exp_field = jnp.clip(exp_field, 0, 255)
-    mant = jnp.where(e == 0, 0, m << 6)
-    bits = (exp_field << 7) | mant
-    bits = jnp.where((e == 0) & (m == 0), 0, bits)
-    bits = bits | (sign << 15)
+    mant = ((codes & 1) & jnp.minimum(e, 1)) << 6
+    bits = ((e + scale_bytes - 1) << 7) | mant
+    bits = jnp.where(mag == 0, 0, jnp.maximum(bits, 0))  # exp underflow -> 0
+    bits = bits | ((codes & 8) << 12)              # sign -> bit 15
     return _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
 
 

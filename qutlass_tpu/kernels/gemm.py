@@ -133,6 +133,20 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
 
 
 @jax.jit
+def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+    """K-major fast path: operands as emitted by
+    ``fused_quantize_mx(..., layout='kmajor')`` — zero layout transforms.
+
+    at: u8 [K/2, M], bt: u8 [K/2, N], scales u8 [K/32, M] / [K/32, N].
+    """
+    k = at.shape[0] * 2
+    m, n = at.shape[1], bt.shape[1]
+    _, _, bk = gemm_tiles(m, n, k, packed=True)
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
+                     at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32)
+
+
+@jax.jit
 def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     """Pallas NVFP4 GEMM (group 16, e4m3 scales; reference gemm.cu:250-326)."""
     m, n = a.shape[0], b.shape[0]

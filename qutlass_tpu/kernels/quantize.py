@@ -52,7 +52,8 @@ def _mask_bytes(q_abs_lt6, bk, bm):
     return w.reshape(bk // 8, 8, bm).sum(axis=1).astype(jnp.uint8)
 
 
-def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest, method, emit_mask):
+def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest,
+                        method, emit_mask, kmajor):
     mask_ref = rest[0] if emit_mask else None
     bm, bk = x_ref.shape
     xh = _rotate_tile(x_ref[...], h_ref[...])
@@ -72,10 +73,11 @@ def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest, method, emit_mask):
         q = q * 3.0
 
     codes = C.e2m1_rtne_codes(q)
-    q_ref[...] = _pack_sublane_pairs(codes).T   # [bm, bk/2] row-major
-    # scales/mask are emitted K-major ([K/32, rows]): their lane dims in
-    # row-major blocks (bk/32, bk/8) would violate Mosaic's 128-lane
-    # divisibility; K-major is also the layout the Pallas GEMM consumes.
+    packed = _pack_sublane_pairs(codes)         # [bk/2, bm] K-major
+    q_ref[...] = packed if kmajor else packed.T
+    # scales/mask are always emitted K-major ([K/32, rows]): their lane
+    # dims in row-major blocks (bk/32, bk/8) would violate Mosaic's
+    # 128-lane divisibility; K-major is also the GEMM-native layout.
     s_ref[...] = byte.astype(jnp.uint8)         # [bk/32, bm]
     if emit_mask:
         mask_ref[...] = _mask_bytes(jnp.abs(q) < 6.0, bk, bm)  # [bk/8, bm]
@@ -118,10 +120,17 @@ def _h128(h: jax.Array, rot_size: int) -> jax.Array:
     return jnp.kron(jnp.eye(reps, dtype=jnp.bfloat16), h.astype(jnp.bfloat16))
 
 
-@functools.partial(jax.jit, static_argnames=("rot_size", "method", "return_mask"))
+@functools.partial(jax.jit,
+                   static_argnames=("rot_size", "method", "return_mask",
+                                    "layout"))
 def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
-                      method: str = "quest", return_mask: bool = False):
+                      method: str = "quest", return_mask: bool = False,
+                      layout: str = "rowmajor"):
     """Pallas fused MXFP4 quantize.  Same contract as the emulation op.
+
+    ``layout="kmajor"`` emits the GEMM-native layout directly —
+    packed [K/2, rows] and scale bytes [K/32, rows], unpadded — with no
+    transposes anywhere (the fast path for QuantizedLinear).
 
     Reference: fusedQuantizeMx (qutlass/__init__.py:149-180),
     epilogue math epilogue_quant.h:462-575.
@@ -132,15 +141,22 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
     bm, bk = quantize_tiles(rows, k)
     grid = (ceil_div(rows, bm), k // bk)
     pr, pc = round_up(rows, 128), round_up(k // 32, 4)
+    kmajor = layout == "kmajor"
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8),
-        jax.ShapeDtypeStruct((k // 32, rows), jnp.uint8),   # K-major
-    ]
-    out_specs = [
-        pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // 32, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-    ]
+    if kmajor:
+        q_shape = jax.ShapeDtypeStruct((k // 2, rows), jnp.uint8)
+        q_spec = pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        q_shape = jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8)
+        q_spec = pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+
+    out_shapes = [q_shape,
+                  jax.ShapeDtypeStruct((k // 32, rows), jnp.uint8)]
+    out_specs = [q_spec,
+                 pl.BlockSpec((bk // 32, bm), lambda i, j: (j, i),
+                              memory_space=pltpu.VMEM)]
     if return_mask:
         out_shapes.append(jax.ShapeDtypeStruct((k // 8, rows), jnp.uint8))
         out_specs.append(pl.BlockSpec((bk // 8, bm), lambda i, j: (j, i),
@@ -148,7 +164,7 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
 
     res = pl.pallas_call(
         functools.partial(_quantize_mx_kernel, method=method,
-                          emit_mask=return_mask),
+                          emit_mask=return_mask, kmajor=kmajor),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -158,6 +174,8 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
         out_shape=out_shapes,
     )(x2, _h128(h, rot_size))
 
+    if kmajor:
+        return res[:3] if return_mask else res[:2]
     packed = res[0].reshape(*a.shape[:-1], k // 2)
     scales = _pad_scales(res[1].T, pr, pc)
     if return_mask:

@@ -53,13 +53,22 @@ def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
     del packed
     # M/N live on the lane dim of the K-major operand tiles: a block's
     # lane size must be 128-divisible or equal to the whole array dim.
+    # Large tiles amortize the fp4->bf16 decode (each B tile is decoded
+    # ceil(M/bm) times and vice versa).
     if m < 128:
         bm = m
+    elif m <= 512:
+        bm = 256 if m % 256 == 0 else 128
     else:
-        bm = 256 if (m % 256 == 0 or m > 512) else 128
+        bm = 512 if m % 512 == 0 else (256 if m % 256 == 0 else 128)
     if n < 128:
         bn = n
+    elif n <= 512:
+        bn = 256 if n % 256 == 0 else 128
     else:
-        bn = 256 if (n % 256 == 0 or n > 512) else 128
+        bn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     bk = largest_divisor_multiple(k, 128, 1024)
+    # VMEM guard: decoded tiles 2*(bk/2)*(bm+bn)*2B + acc bm*bn*4B
+    while bk > 256 and bk % 256 == 0 and bk * (bm + bn) * 2 + bm * bn * 4 > 6_000_000:
+        bk //= 2
     return bm, bn, bk

@@ -116,9 +116,8 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
     ``(wq, ws, n, k)``.  The lm head stays bf16 (standard practice).
     """
     def quant(w):
-        n, k = w.shape
-        wq, ws = q.fusedQuantizeMx(w, h, method=method)
-        return {"wq": wq, "ws": ws[:n, : k // 32]}
+        wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
+        return {"wqt": wqt, "wst": wst}
 
     out = dict(params)
     out["layers"] = []
@@ -159,13 +158,12 @@ def _linear(x, w, h, method, quantized: bool):
         return jax.lax.dot_general(
             x, w, (((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(x.dtype)
-    wq, ws = w["wq"], w["ws"]
-    n, k = wq.shape[0], wq.shape[1] * 2
+    wqt, wst = w["wqt"], w["wst"]
+    k, n = wqt.shape[0] * 2, wqt.shape[1]
     x2 = x.reshape(-1, k)
-    m = x2.shape[0]
-    xq, xs = q.fusedQuantizeMx(x2, h, method=method)
-    y = q.matmul_mxf4_bf16_tn(xq, wq, xs[:m, : k // 32], ws,
-                              jnp.ones((1,), jnp.float32))
+    xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
+    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
+                                  jnp.ones((1,), jnp.float32))
     return y.reshape(*x.shape[:-1], n)
 
 

@@ -142,32 +142,33 @@ class QuantizedLinear:
         lin = QuantizedLinear.create(w, h)        # quantize once
         y = lin(x)                                # prefill/decode
     This is the inference-path analogue of the reference's HF-integration
-    layer swap (README.md:50-51).
+    layer swap (README.md:50-51).  Weights and activations travel in the
+    K-major TPU-native layout — no layout transforms on the hot path.
     """
 
-    def __init__(self, wq, ws, h, n, k, method="quest"):
-        self.wq, self.ws, self.h = wq, ws, h
+    def __init__(self, wqt, wst, h, n, k, method="quest"):
+        self.wqt, self.wst, self.h = wqt, wst, h
         self.n, self.k = n, k
         self.method = method
 
     @classmethod
     def create(cls, w: jax.Array, h: jax.Array, method: str = "quest"):
         n, k = w.shape
-        wq, ws = quantize_weights_mx(w, h, method)
-        return cls(wq, ws[:n, : k // 32], h, n, k, method)
+        wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
+        return cls(wqt, wst, h, n, k, method)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         shape = x.shape
         x2 = x.reshape(-1, self.k)
-        m = x2.shape[0]
-        xq, xs = q.fusedQuantizeMx(x2, self.h, method=self.method)
-        y = q.matmul_mxf4_bf16_tn(xq, self.wq, xs[:m, : self.k // 32], self.ws,
-                                  jnp.ones((1,), jnp.float32))
+        xqt, xst = q.fusedQuantizeMx(x2, self.h, method=self.method,
+                                     layout="kmajor")
+        y = q.matmul_mxf4_bf16_kmajor(xqt, self.wqt, xst, self.wst,
+                                      jnp.ones((1,), jnp.float32))
         return y.reshape(*shape[:-1], self.n)
 
 
 jax.tree_util.register_pytree_node(
     QuantizedLinear,
-    lambda l: ((l.wq, l.ws, l.h), (l.n, l.k, l.method)),
+    lambda l: ((l.wqt, l.wst, l.h), (l.n, l.k, l.method)),
     lambda aux, ch: QuantizedLinear(ch[0], ch[1], ch[2], aux[0], aux[1], aux[2]),
 )

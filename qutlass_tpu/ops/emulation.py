@@ -68,9 +68,11 @@ def _padded_scales(bytes2d: jax.Array, rows: int, cols: int) -> jax.Array:
 # fused quantize
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("rot_size", "method", "return_mask"))
+@partial(jax.jit, static_argnames=("rot_size", "method", "return_mask",
+                                   "layout"))
 def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
-                      method: str = "quest", return_mask: bool = False):
+                      method: str = "quest", return_mask: bool = False,
+                      layout: str = "rowmajor"):
     """Rotate + quantize to MXFP4 (group 32, e8m0 scales).
 
     Returns (packed_e2m1 u8 [..., K/2], scale_bytes u8 [pad_rows, pad_cols]
@@ -98,8 +100,14 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
 
     codes = C.e2m1_rtne_codes(q)
     packed = _pack_codes(codes)
-    scales_out = _padded_scales(byte.reshape(rows, k // 32).astype(jnp.uint8),
-                                rows, k // 32)
+    sbytes = byte.reshape(rows, k // 32).astype(jnp.uint8)
+    if layout == "kmajor":
+        pk = packed.reshape(rows, k // 2).T
+        if return_mask:
+            return pk, sbytes.T, _pack_mask(jnp.abs(q) < 6.0).reshape(
+                rows, k // 8).T
+        return pk, sbytes.T
+    scales_out = _padded_scales(sbytes, rows, k // 32)
     if return_mask:
         mask = _pack_mask(jnp.abs(q) < 6.0)
         return packed, scales_out, mask
@@ -167,6 +175,12 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     out = jax.lax.dot_general(av, bv, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(jnp.bfloat16)
+
+
+@jax.jit
+def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+    """K-major variant (operands from layout='kmajor' quantization)."""
+    return matmul_mxf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha)
 
 
 @jax.jit
