@@ -33,7 +33,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "fusedQuantizeMx", "fusedQuantizeNv",
-    "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor",
+    "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor", "fused_linear_mxf4",
     "matmul_ada_mxf4_bf16_tn", "matmul_nvf4_bf16_tn",
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",
@@ -176,6 +176,20 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     impl = kn.matmul_mxf4_bf16_kmajor if kn else _emu.matmul_mxf4_bf16_kmajor
     return impl(_as_bytes(at), _as_bytes(bt), _as_bytes(a_sft),
                 _as_bytes(b_sft), alpha)
+
+
+def fused_linear_mxf4(x, wqt, wst, h, alpha=None, *, method: str = "quest"):
+    """Single-kernel W4A4 linear: rotate+quantize x and GEMM against a
+    pre-quantized K-major weight in one launch (decode fast path).
+    """
+    rot = h.shape[-1]
+    k = x.shape[-1]
+    if alpha is None:
+        alpha = jnp.ones((1,), jnp.float32)
+    kn = _route(k % 128 == 0)
+    impl = kn.fused_linear_mxf4 if kn else _emu.fused_linear_mxf4
+    return impl(x, _as_bytes(wqt), _as_bytes(wst), h, alpha,
+                rot_size=rot, method=method)
 
 
 def matmul_ada_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):

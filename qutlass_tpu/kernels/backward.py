@@ -1,0 +1,296 @@
+"""Pallas TPU kernels: Quartet QAT backward operators.
+
+TPU-native redesigns of the reference's raw-CUDA backward prototypes
+(quartet_bwd_sm120.cu:237-734).  Shared layout tricks (see
+kernels/quantize.py): rotation as a 128/256-wide block-diagonal MXU
+matmul, quantization groups on sublanes, nibble pack/unpack as sublane
+bitcasts.  Scale outputs whose natural lane width is tiny (< 128) are
+emitted transposed and flipped back with one cheap XLA transpose.
+
+Shape constraints (dispatcher falls back to the XLA emulation path
+otherwise): contraction/rotated dims multiples of 128/256 as noted.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import codecs as C
+from ..utils import largest_divisor_multiple
+from .gemm import _expand_scales, _unpack_interleaved
+from .quantize import _h128, _pack_sublane_pairs
+
+
+def _pick_bk(k: int, cap: int = 1024) -> int:
+    return largest_divisor_multiple(k, 128, cap)
+
+
+# ---------------------------------------------------------------------------
+# backward_t: x [N, K] -> quantize(rotate(x^T)) in MXFP4
+# ---------------------------------------------------------------------------
+
+def _backward_t_kernel(x_ref, h_ref, q_ref, st_ref):
+    bn, bk = x_ref.shape                       # bn == 256
+    ht = h_ref[...]                            # [128, 128]
+    x = x_ref[...]
+    # rotate along the N rows: z[n', k] = sum_n H[n, n'] x[n, k]
+    z1 = lax.dot_general(ht, x[:128], (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    z2 = lax.dot_general(ht, x[128:], (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    z = jnp.concatenate([z1, z2], axis=0)      # [256, bk]
+
+    g = z.reshape(bn // 32, 32, bk)
+    amax = jnp.max(jnp.abs(g), axis=1)
+    scale_f, byte = C.pow2_floor_e8m0(amax)    # no +1e-8 (bwd quantizer)
+    q = (g / scale_f[:, None, :] * 3.0).reshape(bn, bk)
+    packed = _pack_sublane_pairs(C.e2m1_rtne_codes(q))  # [128, bk]
+    q_ref[...] = packed.T                      # [bk, 128] -> out [K, N/2]
+    st_ref[...] = byte.astype(jnp.uint8)       # [bn/32, bk] -> [N/32, K]
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size",))
+def backward_t_bf16_2d(x: jax.Array, h: jax.Array, *, rot_size: int):
+    """x [N, K] bf16 -> (e2m1 u8 [K, N/2], e8m0 u8 [K, N/32]).
+
+    Requires N % 256 == 0 and K % 128 == 0.
+    Reference: quartet_bwd_sm120.cu:237-325.
+    """
+    n, k = x.shape
+    bn = 256
+    bk = _pick_bk(k)
+    grid = (k // bk, n // bn)
+
+    packed, st = pl.pallas_call(
+        _backward_t_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, bk), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bk, bn // 2), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // 32, bk), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, n // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((n // 32, k), jnp.uint8),
+        ],
+    )(x, _h128(h, rot_size))
+    return packed, st.T
+
+
+# ---------------------------------------------------------------------------
+# backward_qt: dequant MXFP4 [M, N] -> quantize(rotate(dq^T)) with alpha
+# ---------------------------------------------------------------------------
+
+def _backward_qt_kernel(alpha_ref, xq_ref, xst_ref, h2_ref, q_ref, st_ref):
+    bm = xq_ref.shape[0]                       # == 256 (M rows)
+    bn = xq_ref.shape[1] * 2
+    al = alpha_ref[0, 0]
+
+    # dequant WITHOUT alpha (quartet_bwd_sm120.cu:368-374); scales arrive
+    # pre-transposed [N/32, M] (input lane-width rule)
+    pk_t = xq_ref[...].T                       # [bn/2, bm] u8
+    codes = _unpack_interleaved_arr(pk_t)      # [bn, bm]
+    sexp = _expand_scales(xst_ref[...].astype(jnp.int32), 32)
+    dq = C.e2m1_decode_scaled_bf16(codes, sexp)  # [bn, bm] (rows n, lanes m)
+
+    # rotate along M (lanes): z = dq @ H256  (block-diagonal over 256)
+    z = jnp.dot(dq, h2_ref[...], preferred_element_type=jnp.float32)
+    zt = z.T                                   # [bm, bn], M on sublanes
+
+    g = zt.reshape(bm // 32, 32, bn)
+    amax = jnp.max(jnp.abs(g), axis=1)
+    scale_f, byte = C.pow2_floor_e8m0(amax / al)
+    q = (g * (3.0 / (scale_f[:, None, :] * al))).reshape(bm, bn)
+    packed = _pack_sublane_pairs(C.e2m1_rtne_codes(q))  # [bm/2, bn]
+    q_ref[...] = packed.T                      # [bn, bm/2] -> out [N, M/2]
+    st_ref[...] = byte.astype(jnp.uint8)       # [bm/32, bn] -> [M/32, N]
+
+
+def _unpack_interleaved_arr(pk):
+    v = pk.astype(jnp.int32)
+    u16 = ((v & 0xF) | ((v & 0xF0) << 4)).astype(jnp.uint16)
+    return pltpu.bitcast(u16, jnp.uint8).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size",))
+def backward_qt_bf16_2d(x_e2m1, x_e8m0, h, alpha, *, rot_size: int):
+    """MXFP4 [M, N] -> (e2m1 u8 [N, M/2], e8m0 u8 [N, M/32]).
+
+    Requires M % 256 == 0, N % 256 == 0.
+    Reference: quartet_bwd_sm120.cu:327-493.
+    """
+    m = x_e2m1.shape[0]
+    n = x_e2m1.shape[1] * 2
+    bm = 256
+    bn = _pick_bk(n, 512)
+    if bn % 256 != 0:
+        bn = 256 if n % 256 == 0 else n
+    grid = (n // bn, m // bm)
+    al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    h256 = jnp.kron(jnp.eye(256 // rot_size, dtype=jnp.bfloat16),
+                    h.astype(jnp.bfloat16))
+
+    packed, st = pl.pallas_call(
+        _backward_qt_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bn // 2), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // 32, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 256), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, bm // 2), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm // 32, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((m // 32, n), jnp.uint8),
+        ],
+    )(al, x_e2m1, x_e8m0.T, h256)
+    return packed, st.T
+
+
+# ---------------------------------------------------------------------------
+# backward_bf16_square_double_mxfp8: 32x32-tile double quantization
+# ---------------------------------------------------------------------------
+
+def _square_double_kernel(x_ref, fp8_ref, rs_ref):
+    bm, bn = x_ref.shape
+    x = x_ref[...].astype(jnp.float32)
+    # amax over 32x32 tiles: sublane-group max, transpose, sublane-group max
+    s1 = jnp.max(jnp.abs(x).reshape(bm // 32, 32, bn), axis=1)   # [bm/32, bn]
+    s1t = s1.T                                                    # [bn, bm/32]
+    amax_t = jnp.max(s1t.reshape(bn // 32, 32, bm // 32), axis=1)  # [bn/32, bm/32]
+    ebyte_t = C.mxfp8_shared_exp_bytes(amax_t)                    # [ng, mg]
+
+    # expand 1/scale to [bm, bn] exactly via two MXU matmuls with 0/1
+    # indicator matrices (lane-expansion is not expressible on the VPU)
+    inv_t = 1.0 / C.e8m0_decode_f32(ebyte_t)                      # exact pow2
+    mg, ng = bm // 32, bn // 32
+    rows = lax.broadcasted_iota(jnp.int32, (mg, bm), 1) // 32
+    sel_m = (rows == lax.broadcasted_iota(jnp.int32, (mg, bm), 0)
+             ).astype(jnp.float32)                                # [mg, bm]
+    cols = lax.broadcasted_iota(jnp.int32, (ng, bn), 1) // 32
+    sel_n = (cols == lax.broadcasted_iota(jnp.int32, (ng, bn), 0)
+             ).astype(jnp.float32)                                # [ng, bn]
+    # inv_full[m, n] = sel_m^T inv_t^T sel_n
+    tmp = lax.dot_general(sel_m, inv_t.T, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)     # [bm, ng]
+    inv_full = lax.dot_general(tmp, sel_n, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [bm, bn]
+
+    q = (x * inv_full).astype(jnp.bfloat16).astype(jnp.float32)
+    fp8_ref[...] = C.e4m3_rtne_bytes(q).astype(jnp.uint8)
+    rs_ref[...] = ebyte_t.T.astype(jnp.uint8)  # [mg, ng]
+
+
+@jax.jit
+def backward_bf16_square_double_mxfp8_2d(x: jax.Array):
+    """x [M, N] bf16 (M % 128 == 0, N % 32 == 0) ->
+    (fp8 u8 [M, N], row_scales u8 [M, N/32], col_scales u8 [N, M/32]).
+
+    The kernel emits one [M/32, N/32] shared-exponent matrix; both scale
+    orientations are tiny XLA expansions of it.
+    Reference: quartet_bwd_sm120.cu:496-624.
+    """
+    m, n = x.shape
+    bm = 256 if m % 256 == 0 else 128
+    bn = n                                     # full N per program (scale
+    grid = (m // bm, 1)                        # block lane-width rule)
+
+    fp8, eb = pl.pallas_call(
+        _square_double_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm // 32, bn // 32), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), jnp.uint8),
+            jax.ShapeDtypeStruct((m // 32, n // 32), jnp.uint8),
+        ],
+    )(x)
+    row_scales = jnp.repeat(eb, 32, axis=0)
+    col_scales = jnp.repeat(eb.T, 32, axis=0)
+    return fp8, row_scales, col_scales
+
+
+# ---------------------------------------------------------------------------
+# mxfp4_transpose_mxfp8: dequant fp4, transpose, requantize g32 to fp8
+# ---------------------------------------------------------------------------
+
+def _fp4t_fp8_kernel(xq_ref, xst_ref, fp8_ref, st_ref):
+    bm = xq_ref.shape[0]
+    bn = xq_ref.shape[1] * 2
+    pk_t = xq_ref[...].T                       # [bn/2, bm]
+    codes = _unpack_interleaved_arr(pk_t)      # [bn, bm]
+    sexp = _expand_scales(xst_ref[...].astype(jnp.int32), 32)
+    dq = C.e2m1_decode_scaled_bf16(codes, sexp)          # [bn, bm]
+    z = dq.T.astype(jnp.float32)               # [bm, bn], M on sublanes
+
+    g = z.reshape(bm // 32, 32, bn)
+    amax = jnp.max(jnp.abs(g), axis=1)                   # [bm/32, bn]
+    ebyte = C.mxfp8_shared_exp_bytes(amax)
+    inv = 1.0 / C.e8m0_decode_f32(ebyte)
+    q = (g * inv[:, None, :]).astype(jnp.bfloat16).astype(jnp.float32)
+    fp8 = C.e4m3_rtne_bytes(q.reshape(bm, bn)).astype(jnp.uint8)
+    fp8_ref[...] = fp8.T                       # [bn, bm] -> out [N, M]
+    st_ref[...] = ebyte.astype(jnp.uint8)      # [bm/32, bn] -> [M/32, N]
+
+
+@jax.jit
+def mxfp4_transpose_mxfp8_2d(x_fp4: jax.Array, scales: jax.Array):
+    """x_fp4 u8 [M, N/2], scales u8 [M, N/32] (M % 256 == 0, N % 256 == 0)
+    -> (fp8 u8 [N, M], e8m0 u8 [N, M/32]).
+
+    Reference: quartet_bwd_sm120.cu:626-734.
+    """
+    m = x_fp4.shape[0]
+    n = x_fp4.shape[1] * 2
+    bm = 256
+    bn = _pick_bk(n, 512)
+    if bn % 256 != 0:
+        bn = 256 if n % 256 == 0 else n
+    grid = (n // bn, m // bm)
+
+    fp8, st = pl.pallas_call(
+        _fp4t_fp8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn // 2), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // 32, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm // 32, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m), jnp.uint8),
+            jax.ShapeDtypeStruct((m // 32, n), jnp.uint8),
+        ],
+    )(x_fp4, scales.T)
+    return fp8, st.T

@@ -1,0 +1,123 @@
+"""Fully-fused quantized linear: rotate + quantize + W4A4 GEMM in ONE
+Pallas kernel.
+
+For decode / small-prefill shapes the unfused pipeline
+(quantize kernel -> HBM -> GEMM kernel) pays an extra kernel launch and
+an HBM round-trip for the quantized activations; at M <= 256 the
+activation tile lives in VMEM, so the whole reference call stack
+(SURVEY.md §3.1 + §3.2) collapses into a single launch.  The activation
+quantization is recomputed per N-block — negligible at small M.
+
+Numerics are identical to fusedQuantizeMx + matmul_mxf4_bf16_tn: the
+activation is rotated in bf16->fp32 on the MXU, quantized with the same
+scale math, and the RTNE e2m1 grid value (times its power-of-two scale)
+is reconstructed exactly in bf16.  The abs-max variant folds the /9
+dequant constant into alpha instead of dividing each operand by 3.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import codecs as C
+from ..utils import ceil_div
+from .gemm import _KDIM, _dequant_fp4_mx
+from .quantize import _h128
+from .tuning import gemm_tiles
+
+_RTNE = lax.RoundingMethod.TO_NEAREST_EVEN
+
+
+def _rtne_e2m1_values(q):
+    """RTNE of fp32 ``q`` onto the e2m1 grid, returned as grid *values*.
+
+    Same rounding as e2m1_rtne_codes but skips the code round-trip.
+    """
+    s = jnp.sign(q)
+    a = jnp.abs(q)
+    a = jnp.where(jnp.isnan(a), 0.0, jnp.minimum(a, 6.0))
+    v1 = lax.round(a * 2.0, _RTNE) * 0.5
+    v2 = lax.round(a, _RTNE)
+    v3 = lax.round(a * 0.5, _RTNE) * 2.0
+    return s * jnp.where(a <= 2.0, v1, jnp.where(a <= 4.0, v2, v3))
+
+
+def quantize_dequant_tile(x, h128, method):
+    """[bm, bk] bf16 -> W4A4-quantized-then-dequantized bf16 [bk, bm].
+
+    For abs-max the *3 stays folded in (caller divides by 9 via alpha).
+    """
+    bm, bk = x.shape
+    r = x.reshape(bm * bk // 128, 128)
+    xh = jnp.dot(r, h128, preferred_element_type=jnp.float32).reshape(bm, bk)
+    xt = xh.T
+    g = xt.reshape(bk // 32, 32, bm)
+    if method == "quest":
+        s1 = jnp.sum(g, axis=1)
+        s2 = jnp.sum(g * g, axis=1)
+        scale = C.mx_scale_quest(s1, s2, 32.0)
+    else:
+        scale = C.mx_scale_absmax(jnp.max(jnp.abs(g), axis=1))
+    scale_f, _ = C.pow2_floor_e8m0(scale)
+    q = g / scale_f[:, None, :]
+    if method != "quest":
+        q = q * 3.0
+    vals = _rtne_e2m1_values(q.reshape(bk, bm))
+    # grid value x pow2 scale is exact in bf16
+    sexp = jnp.broadcast_to(scale_f[:, None, :], (bk // 32, 32, bm)
+                            ).reshape(bk, bm)
+    return (vals * sexp).astype(jnp.bfloat16)
+
+
+def _fused_linear_kernel(alpha_ref, x_ref, h_ref, wq_ref, wsf_ref, o_ref, acc,
+                         *, method):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    xdq = quantize_dequant_tile(x_ref[...], h_ref[...], method)  # [bk, bm]
+    wdq = _dequant_fp4_mx(wq_ref, wsf_ref)                       # [bk, bn]
+    acc[...] += jax.lax.dot_general(xdq, wdq, _KDIM,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _fin():
+        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
+                      method: str = "quest"):
+    """y[M, N] = W4A4(x) @ dq(w)^T * alpha in one kernel launch.
+
+    x: [M, K] bf16; wqt/wst: K-major quantized weight
+    (fused_quantize_mx(..., layout='kmajor')); h: [gs, gs] rotation.
+    """
+    m, k = x.shape
+    n = wqt.shape[1]
+    bm, bn, bk = gemm_tiles(m, n, k, packed=True)
+    grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
+    al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    if method != "quest":
+        al = al * (1.0 / 9.0)
+
+    return pl.pallas_call(
+        functools.partial(_fused_linear_kernel, method=method),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 32, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )(al, x, _h128(h, rot_size), wqt, wst)

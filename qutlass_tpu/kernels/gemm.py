@@ -38,25 +38,32 @@ def _expand_scales(sbytes_i32, group: int):
         g * group, m)
 
 
-def _dequant_fp4_planes_mx(pk_ref, sf_ref):
-    """Packed [bk/2, m] u8 + e8m0 [bk/32, m] -> (lo, hi) bf16 [bk/2, m]."""
+def _unpack_interleaved(pk_ref):
+    """Packed u8 [bk/2, m] -> e2m1 codes i32 [bk, m] in natural K order.
+
+    The inverse of the quantizer's sublane-pair pack: widen each byte to
+    u16 with the nibbles in separate bytes, then bitcast u16 -> u8 to
+    double the sublane count (little-endian puts the low nibble at row
+    2k, the high nibble at row 2k+1 — exactly the original K order).
+    """
     v = pk_ref[...].astype(jnp.int32)
-    lo = v & 0xF
-    hi = (v >> 4) & 0xF
-    sexp = _expand_scales(sf_ref[...].astype(jnp.int32), 16)
-    return (C.e2m1_decode_scaled_bf16(lo, sexp),
-            C.e2m1_decode_scaled_bf16(hi, sexp))
+    u16 = ((v & 0xF) | ((v & 0xF0) << 4)).astype(jnp.uint16)
+    return pltpu.bitcast(u16, jnp.uint8).astype(jnp.int32)
 
 
-def _dequant_fp4_planes_nv(pk_ref, sf_ref):
-    """Packed fp4 + e4m3 scales [bk/16, m] -> (lo, hi) bf16 [bk/2, m]."""
-    v = pk_ref[...].astype(jnp.int32)
-    lo = v & 0xF
-    hi = (v >> 4) & 0xF
+def _dequant_fp4_mx(pk_ref, sf_ref):
+    """Packed [bk/2, m] u8 + e8m0 [bk/32, m] -> bf16 [bk, m] (exact)."""
+    codes = _unpack_interleaved(pk_ref)
+    sexp = _expand_scales(sf_ref[...].astype(jnp.int32), 32)
+    return C.e2m1_decode_scaled_bf16(codes, sexp)
+
+
+def _dequant_fp4_nv(pk_ref, sf_ref):
+    """Packed fp4 + e4m3 scales [bk/16, m] -> bf16 [bk, m]."""
+    codes = _unpack_interleaved(pk_ref)
     sf = C.e4m3_decode_f32(sf_ref[...].astype(jnp.int32))
-    sexp = _expand_scales(sf, 8)  # 8 packed bytes per 16-group
-    return ((C.e2m1_decode_f32(lo) * sexp).astype(jnp.bfloat16),
-            (C.e2m1_decode_f32(hi) * sexp).astype(jnp.bfloat16))
+    sexp = _expand_scales(sf, 16)
+    return (C.e2m1_decode_f32(codes) * sexp).astype(jnp.bfloat16)
 
 
 _KDIM = (((0,), (0,)), ((), ()))  # contract sublane (K) dim of both operands
@@ -68,12 +75,11 @@ def _gemm_fp4_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc,
     def _init():
         acc[...] = jnp.zeros_like(acc)
 
-    dq = _dequant_fp4_planes_mx if fmt == "mx" else _dequant_fp4_planes_nv
-    a_lo, a_hi = dq(a_ref, asf_ref)
-    b_lo, b_hi = dq(b_ref, bsf_ref)
-    acc[...] += (
-        jax.lax.dot_general(a_lo, b_lo, _KDIM, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(a_hi, b_hi, _KDIM, preferred_element_type=jnp.float32))
+    dq = _dequant_fp4_mx if fmt == "mx" else _dequant_fp4_nv
+    av = dq(a_ref, asf_ref)
+    bv = dq(b_ref, bsf_ref)
+    acc[...] += jax.lax.dot_general(av, bv, _KDIM,
+                                    preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _fin():

@@ -161,9 +161,12 @@ def _linear(x, w, h, method, quantized: bool):
     wqt, wst = w["wqt"], w["wst"]
     k, n = wqt.shape[0] * 2, wqt.shape[1]
     x2 = x.reshape(-1, k)
-    xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
-    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
-                                  jnp.ones((1,), jnp.float32))
+    if x2.shape[0] <= 256:
+        y = q.fused_linear_mxf4(x2, wqt, wst, h, method=method)
+    else:
+        xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
+        y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
+                                      jnp.ones((1,), jnp.float32))
     return y.reshape(*x.shape[:-1], n)
 
 

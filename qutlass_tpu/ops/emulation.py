@@ -183,6 +183,23 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     return matmul_mxf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha)
 
 
+@partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
+                      method: str = "quest"):
+    """Composed emulation of the fused quantize+GEMM linear.
+
+    Like the Pallas kernel, the abs-max dequant constant (1/3 per
+    operand) is folded into alpha so the result is the true linear
+    output for both methods.
+    """
+    al = jnp.asarray(alpha, jnp.float32)
+    if method != "quest":
+        al = al * (1.0 / 9.0)
+    xq, xs = fused_quantize_mx(x, h, rot_size=rot_size, method=method,
+                               layout="kmajor")
+    return matmul_mxf4_bf16_kmajor(xq, wqt, xs, wst, al)
+
+
 @jax.jit
 def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     """NVFP4 GEMM (group 16, e4m3 scales). Reference: gemm.cu:250-326."""

@@ -5,12 +5,54 @@ QAT backward ops currently route through the XLA emulation graph on
 device (they are prototype-grade in the reference too —
 quartet_bwd_sm120.cu) and will gain fused kernels.
 """
+import jax
+
+from ..kernels import backward as _bwd
+from ..kernels.fused_linear import fused_linear_mxf4
 from ..kernels.gemm import (matmul_mxf4_bf16_kmajor, matmul_mxf4_bf16_tn,
                             matmul_mxf8_bf16_nn, matmul_mxf8_bf16_tn,
                             matmul_nvf4_bf16_tn)
 from ..kernels.quantize import fused_quantize_mx, fused_quantize_nv
-from .emulation import (backward_bf16_square_double_mxfp8, backward_qt_bf16,
-                        backward_t_bf16, mxfp4_transpose_mxfp8)
+from . import emulation as _emu
+
+
+def backward_t_bf16(x, h, *, rot_size: int = 32):
+    """Pallas when N % 256 == 0 and K % 128 == 0; else XLA emulation."""
+    n, k = x.shape[-2], x.shape[-1]
+    if n % 256 != 0 or k % 128 != 0:
+        return _emu.backward_t_bf16(x, h, rot_size=rot_size)
+    fn = lambda xx: _bwd.backward_t_bf16_2d(xx, h, rot_size=rot_size)
+    if x.ndim == 2:
+        return fn(x)
+    x3 = x.reshape(-1, n, k)
+    pk, st = jax.vmap(fn)(x3)
+    return (pk.reshape(*x.shape[:-2], k, n // 2),
+            st.reshape(*x.shape[:-2], k, n // 32))
+
+
+def backward_qt_bf16(x_e2m1, x_e8m0, h, alpha, *, rot_size: int = 32):
+    m = x_e2m1.shape[-2]
+    n = x_e2m1.shape[-1] * 2
+    if x_e2m1.ndim != 2 or m % 256 != 0 or n % 256 != 0:
+        return _emu.backward_qt_bf16(x_e2m1, x_e8m0, h, alpha,
+                                     rot_size=rot_size)
+    return _bwd.backward_qt_bf16_2d(x_e2m1, x_e8m0, h, alpha,
+                                    rot_size=rot_size)
+
+
+def backward_bf16_square_double_mxfp8(x):
+    m, n = x.shape
+    if m % 128 != 0 or n % 32 != 0 or n > 16384:
+        return _emu.backward_bf16_square_double_mxfp8(x)
+    return _bwd.backward_bf16_square_double_mxfp8_2d(x)
+
+
+def mxfp4_transpose_mxfp8(x_fp4, scales):
+    m = x_fp4.shape[0]
+    n = x_fp4.shape[1] * 2
+    if m % 256 != 0 or n % 256 != 0:
+        return _emu.mxfp4_transpose_mxfp8(x_fp4, scales)
+    return _bwd.mxfp4_transpose_mxfp8_2d(x_fp4, scales)
 
 __all__ = [
     "fused_quantize_mx", "fused_quantize_nv",
