@@ -1,0 +1,109 @@
+"""QAT training-step benchmark: real-quantized Quartet step vs the
+bf16 pseudo-quantization QAT baseline.
+
+The reference's training headline is "30% faster than BF16
+pseudo-quantization QAT" (README.md:172-183).  The baseline here is the
+standard pseudo-quant recipe: simulate MXFP4 quantization
+(rotate/scale/RTNE/dequant in bf16/fp32) on both operands, then run
+bf16 matmuls fwd/bwd.  The quartet path runs the real quantized
+kernels + MXFP8 backward GEMMs.
+
+Usage: python benchmarks/bench_qat.py [--m 4096 --n 4096 --k 4096]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=4096)
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--k", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import ml_dtypes
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from qutlass_tpu.nn import quartet_linear
+    from qutlass_tpu.formats import codecs as C
+
+    rng = np.random.default_rng(0)
+    m, n, k = args.m, args.n, args.k
+    hm = np.array([[1.0]])
+    while hm.shape[0] < 32:
+        hm = np.block([[hm, hm], [hm, -hm]])
+    h = jnp.asarray(hm * 32 ** -0.5, jnp.bfloat16)
+
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(ml_dtypes.bfloat16))
+    w = jnp.asarray((rng.standard_normal((n, k)) * 0.05)
+                    .astype(ml_dtypes.bfloat16))
+    t = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+
+    def pseudo_quant(v):
+        """bf16 pseudo-quantization of the last axis (quest, rot 32)."""
+        rot = h.astype(jnp.float32)
+        g = v.reshape(-1, 32).astype(jnp.float32) @ rot
+        s1 = jnp.sum(g, axis=-1)
+        s2 = jnp.sum(g * g, axis=-1)
+        scale = C.mx_scale_quest(s1, s2, 32.0)
+        sf, _ = C.pow2_floor_e8m0(scale)
+        q = g / sf[:, None]
+        codes = C.e2m1_rtne_codes(q)
+        dq = C.e2m1_decode_f32(codes) * sf[:, None]
+        return (dq @ rot.T).reshape(v.shape).astype(jnp.bfloat16)
+
+    @jax.custom_vjp
+    def pq_ste(v):
+        return pseudo_quant(v)
+
+    pq_ste.defvjp(lambda v: (pseudo_quant(v), None), lambda _, g: (g,))
+
+    def loss_pseudo(x, w):
+        y = pq_ste(x).astype(jnp.float32) @ pq_ste(w).astype(jnp.float32).T
+        return jnp.sum(y * t)
+
+    def loss_quartet(x, w):
+        return jnp.sum(quartet_linear(x, w, h, "quest").astype(jnp.float32) * t)
+
+    def bench(step, iters=4, chain=3):
+        @jax.jit
+        def loop(dep):
+            def body(c, _):
+                for _ in range(chain):
+                    gx, gw = step(c)
+                    c = gx.ravel()[:1].astype(jnp.float32) * 1e-30
+                return c, None
+            c, _ = lax.scan(body, dep, None, length=iters)
+            return c
+        d = jnp.zeros((1,), jnp.float32)
+        loop(d).block_until_ready()
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            loop(d).block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / (iters * chain))
+        return best
+
+    gq = jax.grad(loss_quartet, argnums=(0, 1))
+    gp = jax.grad(loss_pseudo, argnums=(0, 1))
+    tq = bench(lambda d: gq(x + d.astype(jnp.bfloat16), w))
+    tp = bench(lambda d: gp(x + d.astype(jnp.bfloat16), w))
+
+    rec = {"metric": "qat_step_speedup_vs_pseudoquant", "m": m, "n": n,
+           "k": k, "quartet_us": round(tq * 1e6, 1),
+           "pseudoquant_us": round(tp * 1e6, 1),
+           "speedup": round(tp / tq, 3)}
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

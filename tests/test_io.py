@@ -1,0 +1,32 @@
+"""Serialization + CUDA-interop export tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import qutlass_tpu as q
+from qutlass_tpu import io as qio
+from qutlass_tpu.formats import golden as G
+from helpers import bf16_hadamard, randn_bf16
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    w = randn_bf16(rng, 256, 512, scale=0.05)
+    h = bf16_hadamard(32)
+    wqt, wst = q.fusedQuantizeMx(w, h, layout="kmajor")
+    tree = {"wqt": wqt, "wst": wst}
+    p = str(tmp_path / "weights.npz")
+    qio.save_quantized(p, tree, {"model": "test"})
+    loaded = qio.load_quantized(p, tree)
+    np.testing.assert_array_equal(np.asarray(loaded["wqt"]), np.asarray(wqt))
+    np.testing.assert_array_equal(np.asarray(loaded["wst"]), np.asarray(wst))
+
+
+def test_export_scales_for_cuda_matches_reference_swizzle():
+    rng = np.random.default_rng(0)
+    rows, cols = 200, 10            # forces padding to 256 x 12
+    sb = jnp.asarray(rng.integers(0, 255, (rows, cols), dtype=np.uint8))
+    out = np.asarray(qio.export_scales_for_cuda(sb, k=cols * 32))
+    padded = np.zeros((256, 12), np.uint8)
+    padded[:rows, :cols] = np.asarray(sb)
+    np.testing.assert_array_equal(out, G.to_blocked_swizzled(padded))
