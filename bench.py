@@ -38,40 +38,21 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    from qutlass_tpu.ops import pallas_ops as P
     from qutlass_tpu.ops import dispatch
 
     on_tpu = dispatch.on_tpu()
+    if on_tpu:
+        from qutlass_tpu.ops import pallas_ops as P
+    else:
+        from qutlass_tpu.ops import emulation as P
     log(f"platform={jax.default_backend()} device={jax.devices()[0].device_kind}")
 
-    ITERS = 8 if on_tpu else 2
-    CHAIN = 8 if on_tpu else 2
+    from qutlass_tpu.profiling import benchmark as _benchmark
 
-    def bench_scan(op, iters=ITERS, chain=CHAIN):
-        """Seconds/op, measured on-device via a dependency-chained scan.
-
-        Per-op dispatch through the remote tunnel is not timeable, and
-        each data-dependency step stalls ~0.5 ms — chaining several op
-        applications per scan step amortizes the stall identically for
-        every measured op.
-        """
-        @jax.jit
-        def loop(dep):
-            def body(c, _):
-                for _ in range(chain):
-                    out = op(c)
-                    c = out.ravel()[:1].astype(jnp.float32) * 1e-30
-                return c, None
-            c, _ = lax.scan(body, dep, None, length=iters)
-            return c
-        d = jnp.zeros((1,), jnp.float32)
-        loop(d).block_until_ready()
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            loop(d).block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / (iters * chain))
-        return best
+    def bench_scan(op):
+        if on_tpu:
+            return _benchmark(op)
+        return _benchmark(op, iters=2, chain=2, repeats=1)
 
     rng = np.random.default_rng(0)
     hm = np.array([[1.0]])

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import utils
+from . import io, profiling, utils
 from .formats import codecs, golden
 from .ops import dispatch
 from .ops import emulation as _emu
