@@ -25,6 +25,7 @@ from . import io, profiling, utils
 from .formats import codecs, golden
 from .ops import dispatch
 from .ops import emulation as _emu
+from .ops import validation as _val
 from .utils import (ceil_div, from_blocked, get_padded_shape_mx,
                     get_padded_shape_nv, pad_to_block, round_up, to_blocked,
                     to_blocked_swizzled)
@@ -114,9 +115,10 @@ def fusedQuantizeMx(a: jax.Array, h: jax.Array, *, method: str = "quest",
         raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
     if return_mask and method != "quest":
         raise ValueError("return_mask is only supported for method 'quest'")
-    rot = h.shape[-1]
+    _val.check_bf16("a", a)
     k = a.shape[-1]
-    assert k % rot == 0 and k % 32 == 0, (k, rot)
+    rot = _val.check_rotation(h, k)
+    _val.check_group_dim("fusedQuantizeMx", k, 32)
     kn = _route(k % 128 == 0)
     impl = kn.fused_quantize_mx if kn else _emu.fused_quantize_mx
     return impl(a, h, rot_size=rot, method=method, return_mask=return_mask,
@@ -131,9 +133,10 @@ def fusedQuantizeNv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
     """
     if method not in ("quest", "abs_max"):
         raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
-    rot = h.shape[-1]
+    _val.check_bf16("a", a)
     k = a.shape[-1]
-    assert k % rot == 0 and k % 16 == 0, (k, rot)
+    rot = _val.check_rotation(h, k)
+    _val.check_group_dim("fusedQuantizeNv", k, 16)
     kn = _route(k % 128 == 0)
     impl = kn.fused_quantize_nv if kn else _emu.fused_quantize_nv
     return impl(a, h, global_scale, rot_size=rot, method=method)
@@ -154,8 +157,7 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
     a: u8 [M, K/2], b: u8 [N, K/2]; scales row-major (or the flattened
     padded layout from :func:`to_blocked`).  Reference gemm.cu:174-248.
     """
-    m, n = a.shape[0], b.shape[0]
-    k = a.shape[1] * 2
+    m, n, k = _val.check_matmul_tn(a, b, 32)
     a_sf = _norm_scales(a_sf, m, k // 32)
     b_sf = _norm_scales(b_sf, n, k // 32)
     a, b = _as_bytes(a), _as_bytes(b)
@@ -204,8 +206,7 @@ def matmul_ada_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
 
 def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
     """NVFP4 GEMM (group 16, e4m3 scales). Reference gemm.cu:250-326."""
-    m, n = a.shape[0], b.shape[0]
-    k = a.shape[1] * 2
+    m, n, k = _val.check_matmul_tn(a, b, 16)
     a_sf = _norm_scales(a_sf, m, k // 16)
     b_sf = _norm_scales(b_sf, n, k // 16)
     a, b = _as_bytes(a), _as_bytes(b)
