@@ -103,8 +103,11 @@ def _backward_qt_kernel(alpha_ref, xq_ref, xst_ref, h2_ref, q_ref, st_ref):
     sexp = _expand_scales(xst_ref[...].astype(jnp.int32), 32)
     dq = C.e2m1_decode_scaled_bf16(codes, sexp)  # [bn, bm] (rows n, lanes m)
 
-    # rotate along M (lanes): z = dq @ H256  (block-diagonal over 256)
-    z = jnp.dot(dq, h2_ref[...], preferred_element_type=jnp.float32)
+    # rotate along M (lanes): z = dq @ H256  (block-diagonal over 256);
+    # f32 operands (exact upcast) — the CPU interpret path lacks a
+    # bf16xbf16->f32 dot, and the rotation is a small part of this op
+    z = jnp.dot(dq.astype(jnp.float32), h2_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
     zt = z.T                                   # [bm, bn], M on sublanes
 
     g = zt.reshape(bm // 32, 32, bn)

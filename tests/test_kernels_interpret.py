@@ -1,0 +1,124 @@
+"""Pallas kernel logic tests in interpret mode (CPU).
+
+Runs the actual kernel bodies through the Pallas interpreter and checks
+them bitwise against the XLA emulation backend — kernel-logic coverage
+without TPU hardware (Mosaic lowering is validated separately on-device).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from qutlass_tpu.kernels import backward as KB
+from qutlass_tpu.kernels import fused_linear as KF
+from qutlass_tpu.kernels import gemm as KG
+from qutlass_tpu.kernels import quantize as KQ
+from qutlass_tpu.ops import emulation as E
+from helpers import bf16_hadamard, randn_bf16
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("cpu",),
+    reason="interpret-mode comparison runs on CPU")
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    return (randn_bf16(rng, 256, 512), bf16_hadamard(32),
+            jnp.ones((1,), jnp.float32))
+
+
+@pytest.mark.parametrize("method", ["quest", "abs_max"])
+def test_quantize_mx(data, method):
+    x, h, _ = data
+    pq, ps = KQ.fused_quantize_mx(x, h, rot_size=32, method=method)
+    eq, es = E.fused_quantize_mx(x, h, rot_size=32, method=method)
+    np.testing.assert_array_equal(np.asarray(pq), np.asarray(eq))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(es))
+
+
+def test_quantize_mx_mask_and_kmajor(data):
+    x, h, _ = data
+    pq, ps, pm = KQ.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                      return_mask=True)
+    eq, es, em = E.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                     return_mask=True)
+    np.testing.assert_array_equal(np.asarray(pm), np.asarray(em))
+    kq, ks = KQ.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                  layout="kmajor")
+    np.testing.assert_array_equal(np.asarray(kq), np.asarray(eq).T)
+
+
+def test_quantize_nv(data):
+    x, h, one = data
+    pq, ps = KQ.fused_quantize_nv(x, h, one * 6.0, rot_size=32,
+                                  method="abs_max")
+    eq, es = E.fused_quantize_nv(x, h, one * 6.0, rot_size=32,
+                                 method="abs_max")
+    np.testing.assert_array_equal(np.asarray(pq), np.asarray(eq))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(es))
+
+
+def test_gemm_mxf4(data):
+    x, h, one = data
+    xq, xs = E.fused_quantize_mx(x, h, rot_size=32, method="quest")
+    xs = xs[:256, :16]
+    out_p = KG.matmul_mxf4_bf16_tn(xq, xq, xs, xs, one)
+    out_e = E.matmul_mxf4_bf16_tn(xq, xq, xs, xs, one)
+    np.testing.assert_array_equal(np.asarray(out_p, np.float32),
+                                  np.asarray(out_e, np.float32))
+
+
+def test_fused_linear(data):
+    x, h, one = data
+    wqt, wst = E.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                   layout="kmajor")
+    out_p = KF.fused_linear_mxf4(x, wqt, wst, h, one, rot_size=32)
+    out_e = E.fused_linear_mxf4(x, wqt, wst, h, one, rot_size=32)
+    np.testing.assert_array_equal(np.asarray(out_p, np.float32),
+                                  np.asarray(out_e, np.float32))
+
+
+def test_backward_t(data):
+    x, h, _ = data
+    pk, st = KB.backward_t_bf16_2d(x, h, rot_size=32)
+    ek, es = E.backward_t_bf16(x, h, rot_size=32)
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(ek))
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(es))
+
+
+def test_backward_qt(data):
+    x, h, _ = data
+    xq, xs = E.fused_quantize_mx(x, h, rot_size=32, method="abs_max")
+    xs = xs[:256, :16]
+    al = jnp.asarray([3.0], jnp.float32)
+    pk, ps = KB.backward_qt_bf16_2d(xq, xs, h, al, rot_size=32)
+    ek, es = E.backward_qt_bf16(xq, xs, h, al, rot_size=32)
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(es))
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(ek))
+
+
+def test_square_double(data):
+    x, _, _ = data
+    fp, rp, cp = KB.backward_bf16_square_double_mxfp8_2d(x)
+    fe, re, ce = E.backward_bf16_square_double_mxfp8(x)
+    np.testing.assert_array_equal(np.asarray(rp), np.asarray(re))
+    np.testing.assert_array_equal(np.asarray(cp), np.asarray(ce))
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(fe))
+
+
+def test_fp4_transpose_fp8(data):
+    x, h, _ = data
+    xq, xs = E.fused_quantize_mx(x, h, rot_size=32, method="abs_max")
+    xs = xs[:256, :16]
+    fp, sp = KB.mxfp4_transpose_mxfp8_2d(xq, xs)
+    fe, se = E.mxfp4_transpose_mxfp8(xq, xs)
+    np.testing.assert_array_equal(np.asarray(sp), np.asarray(se))
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(fe))
