@@ -1,0 +1,107 @@
+"""HF-Transformers checkpoint import for the in-repo model family.
+
+Maps Hugging Face Qwen3 / Llama state-dict naming onto the param tree of
+``qutlass_tpu.models.transformer`` so real checkpoints can run through
+the W4A4 path (the reference defers this to its HF integration,
+README.md:50-51).
+
+Works from a dict of numpy arrays (e.g. loaded from safetensors shards
+via ``safetensors.numpy`` or ``transformers``) — no network access is
+required here.
+"""
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from .transformer import ModelConfig
+
+
+_LAYER_MAP = {
+    "input_layernorm.weight": "input_norm",
+    "post_attention_layernorm.weight": "post_attn_norm",
+    "self_attn.q_proj.weight": "q_proj",
+    "self_attn.k_proj.weight": "k_proj",
+    "self_attn.v_proj.weight": "v_proj",
+    "self_attn.o_proj.weight": "o_proj",
+    "self_attn.q_norm.weight": "q_norm",
+    "self_attn.k_norm.weight": "k_norm",
+    "mlp.gate_proj.weight": "gate_proj",
+    "mlp.up_proj.weight": "up_proj",
+    "mlp.down_proj.weight": "down_proj",
+}
+
+
+def config_from_hf(hf_config: Mapping) -> ModelConfig:
+    """Build a ModelConfig from an HF config dict (Qwen3/Llama style)."""
+    qk_norm = hf_config.get("model_type", "") == "qwen3" or \
+        "qwen3" in str(hf_config.get("architectures", "")).lower()
+    return ModelConfig(
+        vocab_size=hf_config["vocab_size"],
+        hidden_size=hf_config["hidden_size"],
+        intermediate_size=hf_config["intermediate_size"],
+        num_layers=hf_config["num_hidden_layers"],
+        num_heads=hf_config["num_attention_heads"],
+        num_kv_heads=hf_config.get("num_key_value_heads",
+                                   hf_config["num_attention_heads"]),
+        head_dim=hf_config.get(
+            "head_dim",
+            hf_config["hidden_size"] // hf_config["num_attention_heads"]),
+        rope_theta=hf_config.get("rope_theta", 1e6),
+        rms_eps=hf_config.get("rms_norm_eps", 1e-6),
+        qk_norm=qk_norm,
+        tie_embeddings=hf_config.get("tie_word_embeddings", False),
+    )
+
+
+def params_from_hf_state_dict(cfg: ModelConfig,
+                              state: Mapping[str, np.ndarray],
+                              dtype=jnp.bfloat16):
+    """Convert an HF state dict (torch key naming) to the params pytree.
+
+    Linear weights keep HF's [out, in] orientation (ours matches).
+    Missing optional keys (q_norm for Llama, lm_head when tied) are
+    handled per config.
+    """
+    def get(k):
+        if k not in state:
+            raise KeyError(f"missing checkpoint tensor: {k}")
+        return jnp.asarray(np.asarray(state[k]), dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        prefix = f"model.layers.{i}."
+        layer = {}
+        for hf_name, ours in _LAYER_MAP.items():
+            if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
+                continue
+            layer[ours] = get(prefix + hf_name)
+        layers.append(layer)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "final_norm": get("model.norm.weight"),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = get("lm_head.weight")
+    return params
+
+
+def load_safetensors_dir(path: str) -> dict[str, np.ndarray]:
+    """Load all *.safetensors shards under ``path`` into one numpy dict."""
+    import glob
+    import os
+    from safetensors import safe_open
+
+    state: dict[str, np.ndarray] = {}
+    for shard in sorted(glob.glob(os.path.join(path, "*.safetensors"))):
+        with safe_open(shard, framework="numpy") as f:
+            for k in f.keys():
+                state[k] = f.get_tensor(k)
+    if not state:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    return state

@@ -1,0 +1,69 @@
+"""HF checkpoint-mapping tests with a fabricated state dict."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qutlass_tpu.models import forward, tiny_config
+from qutlass_tpu.models.hf_loader import (config_from_hf,
+                                          params_from_hf_state_dict)
+
+
+def _fake_state(cfg):
+    rng = np.random.default_rng(0)
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    s = {}
+    s["model.embed_tokens.weight"] = rng.standard_normal(
+        (cfg.vocab_size, cfg.hidden_size)).astype(np.float32) * 0.02
+    s["model.norm.weight"] = np.ones(cfg.hidden_size, np.float32)
+    s["lm_head.weight"] = rng.standard_normal(
+        (cfg.vocab_size, cfg.hidden_size)).astype(np.float32) * 0.02
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        s[p + "input_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        s[p + "post_attention_layernorm.weight"] = np.ones(cfg.hidden_size,
+                                                           np.float32)
+        s[p + "self_attn.q_proj.weight"] = rng.standard_normal(
+            (qd, cfg.hidden_size)).astype(np.float32) * 0.02
+        s[p + "self_attn.k_proj.weight"] = rng.standard_normal(
+            (kvd, cfg.hidden_size)).astype(np.float32) * 0.02
+        s[p + "self_attn.v_proj.weight"] = rng.standard_normal(
+            (kvd, cfg.hidden_size)).astype(np.float32) * 0.02
+        s[p + "self_attn.o_proj.weight"] = rng.standard_normal(
+            (cfg.hidden_size, qd)).astype(np.float32) * 0.02
+        s[p + "self_attn.q_norm.weight"] = np.ones(cfg.head_dim, np.float32)
+        s[p + "self_attn.k_norm.weight"] = np.ones(cfg.head_dim, np.float32)
+        s[p + "mlp.gate_proj.weight"] = rng.standard_normal(
+            (cfg.intermediate_size, cfg.hidden_size)).astype(np.float32) * 0.02
+        s[p + "mlp.up_proj.weight"] = rng.standard_normal(
+            (cfg.intermediate_size, cfg.hidden_size)).astype(np.float32) * 0.02
+        s[p + "mlp.down_proj.weight"] = rng.standard_normal(
+            (cfg.hidden_size, cfg.intermediate_size)).astype(np.float32) * 0.02
+    return s
+
+
+def test_roundtrip_forward():
+    cfg = tiny_config()
+    params = params_from_hf_state_dict(cfg, _fake_state(cfg))
+    tokens = jnp.zeros((1, 8), jnp.int32)
+    logits = forward(cfg, params, tokens)
+    assert logits.shape == (1, 8, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_config_from_hf():
+    hf = dict(model_type="qwen3", vocab_size=1000, hidden_size=256,
+              intermediate_size=512, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+              rope_theta=1e6, rms_norm_eps=1e-6)
+    cfg = config_from_hf(hf)
+    assert cfg.qk_norm and cfg.num_kv_heads == 2 and cfg.head_dim == 64
+
+
+def test_missing_key_reports_name():
+    cfg = tiny_config()
+    s = _fake_state(cfg)
+    del s["model.layers.0.mlp.up_proj.weight"]
+    with pytest.raises(KeyError, match="up_proj"):
+        params_from_hf_state_dict(cfg, s)
