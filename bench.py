@@ -47,7 +47,7 @@ def main():
         from qutlass_tpu.ops import emulation as P
     log(f"platform={jax.default_backend()} device={jax.devices()[0].device_kind}")
 
-    from qutlass_tpu.profiling import benchmark as _benchmark
+    from qutlass_tpu.profiling import benchmark as _benchmark, chain_dep
 
     def bench_scan(op):
         if on_tpu:
@@ -75,7 +75,7 @@ def main():
         a = jnp.asarray((rng.standard_normal((M, K))).astype(ml_dtypes.bfloat16))
 
         def quant_linear(d):
-            x = a + d.astype(jnp.bfloat16)
+            x = chain_dep(a, d)
             if M <= 256:
                 # production decode path: single fused kernel
                 return P.fused_linear_mxf4(x, wqt, wst, h, one, rot_size=32)
@@ -84,7 +84,7 @@ def main():
             return P.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, one)
 
         def bf16_linear(d):
-            return (a + d.astype(jnp.bfloat16)) @ wT
+            return chain_dep(a, d) @ wT
 
         tq = bench_scan(quant_linear)
         tb = bench_scan(bf16_linear)

@@ -36,6 +36,7 @@ __all__ = [
     "fusedQuantizeMx", "fusedQuantizeNv",
     "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor", "fused_linear_mxf4",
     "matmul_ada_mxf4_bf16_tn", "matmul_nvf4_bf16_tn",
+    "matmul_nvf4_bf16_kmajor", "fused_linear_nvf4",
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
@@ -126,10 +127,12 @@ def fusedQuantizeMx(a: jax.Array, h: jax.Array, *, method: str = "quest",
 
 
 def fusedQuantizeNv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
-                    method: str = "abs_max"):
+                    method: str = "abs_max", layout: str = "rowmajor"):
     """Fused rotation + NVFP4 quantization (group 16, e4m3 scales).
 
-    Reference: qutlass/__init__.py:183-203.
+    Reference: qutlass/__init__.py:183-203.  ``layout="kmajor"``
+    returns (e2m1 u8 [K/2, rows], e4m3 u8 [K/16, rows]) for
+    :func:`matmul_nvf4_bf16_kmajor`.
     """
     if method not in ("quest", "abs_max"):
         raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
@@ -139,7 +142,8 @@ def fusedQuantizeNv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
     _val.check_group_dim("fusedQuantizeNv", k, 16)
     kn = _route(k % 128 == 0)
     impl = kn.fused_quantize_nv if kn else _emu.fused_quantize_nv
-    return impl(a, h, global_scale, rot_size=rot, method=method)
+    return impl(a, h, global_scale, rot_size=rot, method=method,
+                layout=layout)
 
 
 # snake_case aliases
@@ -213,6 +217,33 @@ def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
     kn = None if backend == "emulation" else _route(k % 128 == 0)
     impl = kn.matmul_nvf4_bf16_tn if kn else _emu.matmul_nvf4_bf16_tn
     return impl(a, b, a_sf, b_sf, alpha)
+
+
+def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+    """K-major NVFP4 GEMM — operands from
+    ``fusedQuantizeNv(..., layout="kmajor")``."""
+    k = at.shape[0] * 2
+    kn = _route(k % 128 == 0)
+    impl = kn.matmul_nvf4_bf16_kmajor if kn else _emu.matmul_nvf4_bf16_kmajor
+    return impl(_as_bytes(at), _as_bytes(bt), _as_bytes(a_sft),
+                _as_bytes(b_sft), alpha)
+
+
+def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha=None, *,
+                      method: str = "abs_max"):
+    """Single-kernel NVFP4 linear: rotate+quantize x (group 16, e4m3
+    scales) and GEMM against a pre-quantized K-major weight in one
+    launch.  ``global_scale`` is the activation-side global scale; fold
+    the weight-side global scale into ``alpha``.
+    """
+    rot = h.shape[-1]
+    k = x.shape[-1]
+    if alpha is None:
+        alpha = jnp.ones((1,), jnp.float32)
+    kn = _route(k % 128 == 0)
+    impl = kn.fused_linear_nvf4 if kn else _emu.fused_linear_nvf4
+    return impl(x, _as_bytes(wqt), _as_bytes(wst), h, global_scale, alpha,
+                rot_size=rot, method=method)
 
 
 def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha):

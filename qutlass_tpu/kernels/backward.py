@@ -213,7 +213,9 @@ def backward_bf16_square_double_mxfp8_2d(x: jax.Array):
     Reference: quartet_bwd_sm120.cu:496-624.
     """
     m, n = x.shape
-    bm = 256 if m % 256 == 0 else 128
+    # bm = 256 keeps the shared-exponent output block's sublane dim at 8
+    # (the Mosaic minimum); m % 256 != 0 routes to emulation (pallas_ops)
+    bm = 256
     bn = n                                     # full N per program (scale
     grid = (m // bm, 1)                        # block lane-width rule)
 

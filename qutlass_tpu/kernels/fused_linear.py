@@ -26,9 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import codecs as C
 from ..utils import ceil_div
-from .gemm import _KDIM, _dequant_fp4_mx
+from .gemm import _KDIM, _dequant_fp4_mx, _dequant_fp4_nv
 from .quantize import _h128
-from .tuning import gemm_tiles
+from .tuning import fused_linear_tiles
 
 _RTNE = lax.RoundingMethod.TO_NEAREST_EVEN
 
@@ -90,6 +90,82 @@ def _fused_linear_kernel(alpha_ref, x_ref, h_ref, wq_ref, wsf_ref, o_ref, acc,
         o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
 
 
+def quantize_dequant_tile_nv(x, h128, method, gscale):
+    """[bm, bk] bf16 -> NVFP4-quantized-then-descaled bf16 [bk, bm].
+
+    The emitted values are grid[code] * e4m3(scale) — exactly the
+    operand the NVFP4 GEMM consumes (global-scale factors live in
+    alpha, reference epilogue_quant.h:1650-1693).
+    """
+    bm, bk = x.shape
+    r = x.reshape(bm * bk // 128, 128)
+    xh = jnp.dot(r, h128, preferred_element_type=jnp.float32).reshape(bm, bk)
+    g = xh.T.reshape(bk // 16, 16, bm)
+    if method == "quest":
+        s1 = jnp.sum(g, axis=1)
+        s2 = jnp.sum(g * g, axis=1)
+        byte, mul = C.nv_quest_scale_bytes(s1, s2)
+    else:
+        byte, mul = C.nv_absmax_scale_bytes(jnp.max(jnp.abs(g), axis=1),
+                                            gscale)
+    q = (g * mul[:, None, :]).reshape(bk, bm)
+    vals = _rtne_e2m1_values(q)
+    sq = C.e4m3_decode_f32(byte)
+    sexp = jnp.broadcast_to(sq[:, None, :], (bk // 16, 16, bm)).reshape(bk, bm)
+    # grid value x e4m3 scale has a <=6-bit significand: exact in bf16
+    return (vals * sexp).astype(jnp.bfloat16)
+
+
+def _fused_linear_nv_kernel(alpha_ref, gs_ref, x_ref, h_ref, wq_ref, wsf_ref,
+                            o_ref, acc, *, method):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    xdq = quantize_dequant_tile_nv(x_ref[...], h_ref[...], method,
+                                   gs_ref[0, 0])
+    wdq = _dequant_fp4_nv(wq_ref, wsf_ref)
+    acc[...] += jax.lax.dot_general(xdq, wdq, _KDIM,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _fin():
+        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha, *, rot_size: int,
+                      method: str = "abs_max"):
+    """Single-kernel NVFP4 linear: quantize x (group 16, e4m3 scales,
+    activation ``global_scale``) and GEMM against a K-major weight.
+    """
+    m, k = x.shape
+    n = wqt.shape[1]
+    bm, bn, bk = fused_linear_tiles(m, n, k)
+    grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
+    al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+
+    return pl.pallas_call(
+        functools.partial(_fused_linear_nv_kernel, method=method),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(al, gs, x, _h128(h, rot_size), wqt, wst)
+
+
 @functools.partial(jax.jit, static_argnames=("rot_size", "method"))
 def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
                       method: str = "quest"):
@@ -100,7 +176,7 @@ def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
     """
     m, k = x.shape
     n = wqt.shape[1]
-    bm, bn, bk = gemm_tiles(m, n, k, packed=True)
+    bm, bn, bk = fused_linear_tiles(m, n, k)
     grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
     al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
     if method != "quest":
@@ -120,4 +196,6 @@ def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(al, x, _h128(h, rot_size), wqt, wst)

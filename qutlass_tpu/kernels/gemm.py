@@ -51,19 +51,53 @@ def _unpack_interleaved(pk_ref):
     return pltpu.bitcast(u16, jnp.uint8).astype(jnp.int32)
 
 
+def _swar_decode_bf16(v, sbm1x):
+    """SWAR fp4 decode: both nibbles of each byte in one i32 lane.
+
+    ``v``: packed bytes widened to i32 [bk/2, m].  ``sbm1x``: per-lane
+    i32 holding (e8m0_byte - 1) in BOTH 16-bit halves (the two nibbles
+    of a byte are consecutive K elements, hence always the same scale
+    group).  Builds the two scaled bf16 bit patterns in the two halves
+    of the word — every VPU op processes two elements — then one 32->16
+    bitcast doubles the sublanes into natural K order (little-endian:
+    row 2k = low half = low nibble).
+
+    Per 16-bit half with code c = [s e1 e0 m]:
+      exp_field = e + scale_byte - 1, mant bit6 = m (if e != 0),
+      which covers the whole nonzero grid incl. code 1 (0.5); codes
+      0/8 are flushed to ±0 by a mask derived from bits already in
+      hand (t | m).  Exact for scale bytes in [1, 254] with in-range
+      products — the only values the quantizers emit (docs/NUMERICS.md).
+    """
+    c = (v & 0xF) | ((v & 0xF0) << 12)      # codes in halves 0 and 16
+    e = (c >> 1) & 0x30003                   # exponent bits per half
+    t = (e | (e >> 1)) & 0x10001             # 1 iff e != 0
+    mant = (c & t) << 6                      # mantissa bit (e==0 -> 0)
+    bits = ((e + sbm1x) << 7) | mant
+    nz = (t | c) & 0x10001                   # 0 iff code in {0, 8}
+    nzm = (nz << 16) - nz                    # 0xFFFF per nonzero half
+    bits = (bits & nzm) | ((c & 0x80008) << 12)
+    return pltpu.bitcast(pltpu.bitcast(bits, jnp.uint16), jnp.bfloat16)
+
+
 def _dequant_fp4_mx(pk_ref, sf_ref):
     """Packed [bk/2, m] u8 + e8m0 [bk/32, m] -> bf16 [bk, m] (exact)."""
-    codes = _unpack_interleaved(pk_ref)
-    sexp = _expand_scales(sf_ref[...].astype(jnp.int32), 32)
-    return C.e2m1_decode_scaled_bf16(codes, sexp)
+    sb = sf_ref[...].astype(jnp.int32)
+    sbm1x = _expand_scales((sb - 1) * 0x10001, 16)
+    return _swar_decode_bf16(pk_ref[...].astype(jnp.int32), sbm1x)
 
 
 def _dequant_fp4_nv(pk_ref, sf_ref):
-    """Packed fp4 + e4m3 scales [bk/16, m] -> bf16 [bk, m]."""
-    codes = _unpack_interleaved(pk_ref)
-    sf = C.e4m3_decode_f32(sf_ref[...].astype(jnp.int32))
-    sexp = _expand_scales(sf, 16)
-    return (C.e2m1_decode_f32(codes) * sexp).astype(jnp.bfloat16)
+    """Packed fp4 + e4m3 scales [bk/16, m] -> bf16 [bk, m].
+
+    Grid values decode unscaled (constant exponent base) via the SWAR
+    path; the e4m3 scale is exact in bf16 and the product has a <=6-bit
+    significand, so one bf16 multiply keeps the result exact.
+    """
+    vals = _swar_decode_bf16(pk_ref[...].astype(jnp.int32),
+                             jnp.int32(126 * 0x10001))
+    sf = C.e4m3_decode_f32(sf_ref[...].astype(jnp.int32)).astype(jnp.bfloat16)
+    return vals * _expand_scales(sf, 16)
 
 
 _KDIM = (((0,), (0,)), ((), ()))  # contract sublane (K) dim of both operands
@@ -125,6 +159,8 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(alpha2, at, bt, asft, bsft)
 
 
@@ -160,6 +196,16 @@ def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     _, _, bk = gemm_tiles(m, n, k, packed=True)
     return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
                      a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 16)
+
+
+@jax.jit
+def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+    """K-major NVFP4 fast path: at u8 [K/2, M], scales u8 [K/16, M]."""
+    k = at.shape[0] * 2
+    m, n = at.shape[1], bt.shape[1]
+    _, _, bk = gemm_tiles(m, n, k, packed=True)
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
+                     at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 16)
 
 
 @jax.jit

@@ -83,7 +83,8 @@ def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest,
         mask_ref[...] = _mask_bytes(jnp.abs(q) < 6.0, bk, bm)  # [bk/8, bm]
 
 
-def _quantize_nv_kernel(gs_ref, x_ref, h_ref, q_ref, s_ref, *, method):
+def _quantize_nv_kernel(gs_ref, x_ref, h_ref, q_ref, s_ref, *, method,
+                        kmajor):
     bm, bk = x_ref.shape
     xh = _rotate_tile(x_ref[...], h_ref[...])
     xt = xh.T
@@ -99,7 +100,8 @@ def _quantize_nv_kernel(gs_ref, x_ref, h_ref, q_ref, s_ref, *, method):
 
     q = (g * mul[:, None, :]).reshape(bk, bm)
     codes = C.e2m1_rtne_codes(q)
-    q_ref[...] = _pack_sublane_pairs(codes).T
+    packed = _pack_sublane_pairs(codes)
+    q_ref[...] = packed if kmajor else packed.T
     s_ref[...] = byte.astype(jnp.uint8)         # K-major [bk/16, bm]
 
 
@@ -183,9 +185,10 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
     return packed, scales
 
 
-@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
+@functools.partial(jax.jit, static_argnames=("rot_size", "method", "layout"))
 def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
-                      rot_size: int, method: str = "abs_max"):
+                      rot_size: int, method: str = "abs_max",
+                      layout: str = "rowmajor"):
     """Pallas fused NVFP4 quantize (group 16, e4m3 scale bytes)."""
     k = a.shape[-1]
     rows = a.size // k
@@ -193,11 +196,21 @@ def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
     bm, bk = quantize_tiles(rows, k)
     grid = (ceil_div(rows, bm), k // bk)
     pr, pc = round_up(rows, 128), round_up(k // 16, 4)
+    kmajor = layout == "kmajor"
 
     gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
 
+    if kmajor:
+        q_shape = jax.ShapeDtypeStruct((k // 2, rows), jnp.uint8)
+        q_spec = pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        q_shape = jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8)
+        q_spec = pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+
     res = pl.pallas_call(
-        functools.partial(_quantize_nv_kernel, method=method),
+        functools.partial(_quantize_nv_kernel, method=method, kmajor=kmajor),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -205,13 +218,15 @@ def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
             pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bm, bk // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((bk // 16, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, k // 2), jnp.uint8),
+            q_shape,
             jax.ShapeDtypeStruct((k // 16, rows), jnp.uint8),   # K-major
         ],
     )(gs, x2, _h128(h, rot_size))
 
+    if kmajor:
+        return res[0], res[1]
     return res[0].reshape(*a.shape[:-1], k // 2), _pad_scales(res[1].T, pr, pc)

@@ -44,6 +44,22 @@ def quantize_tiles(rows: int, k: int) -> tuple[int, int]:
     return bm, bk
 
 
+def fused_linear_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:
+    """(bm, bn, bk) for the single-kernel quantize+GEMM linear.
+
+    The kernel holds the bf16 x-block, its f32 rotation, the decoded
+    weight tile and the accumulator in VMEM at once, so tiles are
+    capped tighter than the plain GEMM's (production use is M <= 256).
+    """
+    bm, bn, bk = gemm_tiles(m, n, k, packed=True)
+    bm = min(bm, 256)
+    bn = min(bn, 512)
+    # x [bm,bk] bf16 + rotated f32 + decoded weight [bk,bn] bf16 (+temps)
+    while bk > 256 and bk % 2 == 0 and bk * (6 * bm + 4 * bn) > 6_000_000:
+        bk //= 2
+    return bm, bn, bk
+
+
 def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
     """(bm, bn, bk) for the block-scaled GEMMs.
 

@@ -114,13 +114,15 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
     return packed, scales_out
 
 
-@partial(jax.jit, static_argnames=("rot_size", "method"))
+@partial(jax.jit, static_argnames=("rot_size", "method", "layout"))
 def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
-                      rot_size: int, method: str = "abs_max"):
+                      rot_size: int, method: str = "abs_max",
+                      layout: str = "rowmajor"):
     """Rotate + quantize to NVFP4 (group 16, e4m3 scales).
 
     Reference: fusedQuantizeNv (qutlass/__init__.py:183-203),
-    epilogue_quant.h:1570-1693.
+    epilogue_quant.h:1570-1693.  ``layout="kmajor"`` emits the
+    GEMM-native layout (packed [K/2, rows], scale bytes [K/16, rows]).
     """
     k = a.shape[-1]
     rows = a.size // k
@@ -138,9 +140,10 @@ def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
 
     q = (g * mul[..., None]).reshape(xh.shape)
     packed = _pack_codes(C.e2m1_rtne_codes(q))
-    scales_out = _padded_scales(byte.reshape(rows, k // 16).astype(jnp.uint8),
-                                rows, k // 16)
-    return packed, scales_out
+    sbytes = byte.reshape(rows, k // 16).astype(jnp.uint8)
+    if layout == "kmajor":
+        return packed.reshape(rows, k // 2).T, sbytes.T
+    return packed, _padded_scales(sbytes, rows, k // 16)
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +201,27 @@ def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
     xq, xs = fused_quantize_mx(x, h, rot_size=rot_size, method=method,
                                layout="kmajor")
     return matmul_mxf4_bf16_kmajor(xq, wqt, xs, wst, al)
+
+
+@jax.jit
+def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+    """K-major NVFP4 GEMM (operands from layout='kmajor' quantization)."""
+    return matmul_nvf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha)
+
+
+@partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha, *, rot_size: int,
+                      method: str = "abs_max"):
+    """Composed emulation of the fused NVFP4 quantize+GEMM linear.
+
+    ``global_scale`` applies to the activation quantization; the weight
+    global scale (and both dequant normalizations) live in ``alpha``,
+    exactly as in the reference's two-level vLLM scheme
+    (epilogue_quant.h:1650-1693).
+    """
+    xq, xs = fused_quantize_nv(x, h, global_scale, rot_size=rot_size,
+                               method=method, layout="kmajor")
+    return matmul_nvf4_bf16_kmajor(xq, wqt, xs, wst, alpha)
 
 
 @jax.jit

@@ -8,10 +8,10 @@ quartet_bwd_sm120.cu) and will gain fused kernels.
 import jax
 
 from ..kernels import backward as _bwd
-from ..kernels.fused_linear import fused_linear_mxf4
+from ..kernels.fused_linear import fused_linear_mxf4, fused_linear_nvf4
 from ..kernels.gemm import (matmul_mxf4_bf16_kmajor, matmul_mxf4_bf16_tn,
                             matmul_mxf8_bf16_nn, matmul_mxf8_bf16_tn,
-                            matmul_nvf4_bf16_tn)
+                            matmul_nvf4_bf16_kmajor, matmul_nvf4_bf16_tn)
 from ..kernels.quantize import fused_quantize_mx, fused_quantize_nv
 from . import emulation as _emu
 
@@ -42,7 +42,7 @@ def backward_qt_bf16(x_e2m1, x_e8m0, h, alpha, *, rot_size: int = 32):
 
 def backward_bf16_square_double_mxfp8(x):
     m, n = x.shape
-    if m % 128 != 0 or n % 32 != 0 or n > 16384:
+    if m % 256 != 0 or n % 32 != 0 or n > 16384:
         return _emu.backward_bf16_square_double_mxfp8(x)
     return _bwd.backward_bf16_square_double_mxfp8_2d(x)
 
@@ -57,6 +57,7 @@ def mxfp4_transpose_mxfp8(x_fp4, scales):
 __all__ = [
     "fused_quantize_mx", "fused_quantize_nv",
     "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor", "matmul_nvf4_bf16_tn",
+    "matmul_nvf4_bf16_kmajor", "fused_linear_mxf4", "fused_linear_nvf4",
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",

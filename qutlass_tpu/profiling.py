@@ -16,35 +16,63 @@ import time
 import numpy as np
 
 
+def chain_dep(x, dep):
+    """Inject the scalar chain dependency ``dep`` into operand ``x``.
+
+    Uses a single-element dynamic-update add — unlike ``x + dep`` this
+    cannot be distributed through a following dot by XLA's algebraic
+    simplifier (which would hoist the matmul out of the timing loop).
+    """
+    import jax.numpy as jnp
+    d = dep.reshape(()).astype(jnp.float32)
+    if x.dtype == jnp.uint8:
+        return x.at[(0,) * x.ndim].add((d * 1e-30).astype(jnp.uint8))
+    return x.at[(0,) * x.ndim].add((d * 1e-30).astype(x.dtype))
+
+
 def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 3) -> float:
-    """Median-free best-of-N seconds per op application.
+    """Seconds per op application, fixed dispatch cost removed.
 
     ``op(dep)`` must return an array and must consume the scalar-array
     ``dep`` so successive applications are data-dependent (defeats
-    dispatch pipelining and caching).
+    dispatch pipelining and caching); inject it with :func:`chain_dep`
+    so XLA cannot hoist the work out of the loop.
+
+    A single jitted dispatch through the remote-TPU tunnel costs a
+    large constant (~30 ms measured on the axon tunnel) regardless of
+    device work, so one absolute timing is meaningless.  This runs the
+    chained scan at ``iters`` and ``3*iters`` iterations and returns
+    the slope — per-iteration device time — dividing out the constant.
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def loop(dep):
-        def body(c, _):
-            for _ in range(chain):
-                out = op(c)
-                c = out.ravel()[:1].astype(jnp.float32) * 1e-30
-            return c, None
-        c, _ = lax.scan(body, dep, None, length=iters)
-        return c
+    def make_loop(n):
+        @jax.jit
+        def loop(dep):
+            def body(c, _):
+                for _ in range(chain):
+                    out = op(c)
+                    c = out.ravel()[:1].astype(jnp.float32) * 1e-30
+                return c, None
+            c, _ = lax.scan(body, dep, None, length=n)
+            return c
+        return loop
 
+    loop1, loop3 = make_loop(iters), make_loop(3 * iters)
     d = jnp.zeros((1,), jnp.float32)
-    loop(d).block_until_ready()
-    best = np.inf
+    loop1(d).block_until_ready()
+    loop3(d).block_until_ready()
+    t1 = t3 = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        loop(d).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / (iters * chain))
-    return best
+        loop1(d).block_until_ready()
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        loop3(d).block_until_ready()
+        t3 = min(t3, time.perf_counter() - t0)
+    return max(t3 - t1, 1e-9) / (2 * iters * chain)
 
 
 def tflops(m: int, n: int, k: int, seconds: float) -> float:

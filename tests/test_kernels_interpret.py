@@ -66,6 +66,25 @@ def test_quantize_nv(data):
     np.testing.assert_array_equal(np.asarray(ps), np.asarray(es))
 
 
+def test_quantize_nv_kmajor_and_fused_linear(data):
+    x, h, one = data
+    gs = one * 6.0
+    kq, ks = KQ.fused_quantize_nv(x, h, gs, rot_size=32, method="abs_max",
+                                  layout="kmajor")
+    eq, es = E.fused_quantize_nv(x, h, gs, rot_size=32, method="abs_max",
+                                 layout="kmajor")
+    np.testing.assert_array_equal(np.asarray(kq), np.asarray(eq))
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(es))
+    out_p = KG.matmul_nvf4_bf16_kmajor(kq, kq, ks, ks, one)
+    out_e = E.matmul_nvf4_bf16_kmajor(eq, eq, es, es, one)
+    np.testing.assert_array_equal(np.asarray(out_p, np.float32),
+                                  np.asarray(out_e, np.float32))
+    fl_p = KF.fused_linear_nvf4(x, kq, ks, h, gs, one, rot_size=32)
+    fl_e = E.fused_linear_nvf4(x, eq, es, h, gs, one, rot_size=32)
+    np.testing.assert_array_equal(np.asarray(fl_p, np.float32),
+                                  np.asarray(fl_e, np.float32))
+
+
 def test_gemm_mxf4(data):
     x, h, one = data
     xq, xs = E.fused_quantize_mx(x, h, rot_size=32, method="quest")
