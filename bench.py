@@ -76,9 +76,6 @@ def main():
 
         def quant_linear(d):
             x = chain_dep(a, d)
-            if M <= 256:
-                # production decode path: single fused kernel
-                return P.fused_linear_mxf4(x, wqt, wst, h, one, rot_size=32)
             xqt, xst = P.fused_quantize_mx(x, h, rot_size=32, method="quest",
                                            layout="kmajor")
             return P.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, one)

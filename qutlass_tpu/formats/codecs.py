@@ -128,6 +128,16 @@ def pow2_floor_e8m0(scale: jax.Array) -> tuple[jax.Array, jax.Array]:
     return _bitcast(bits, jnp.float32), bits >> 23
 
 
+def e8m0_recip_f32(byte: jax.Array) -> jax.Array:
+    """int32 e8m0 byte -> exact fp32 reciprocal 2^(127-byte).
+
+    1/2^(b-127) = 2^((254-b)-127); exact for bytes 0..254 (255 = NaN is
+    never emitted by the quantizers).  Replaces an fp32 divide by a
+    power-of-two scale with one subtract + multiply.
+    """
+    return e8m0_decode_f32(254 - byte.astype(jnp.int32))
+
+
 def e8m0_decode_f32(byte: jax.Array) -> jax.Array:
     """int32 e8m0 byte -> fp32 2^(byte-127).  Byte 0 -> 2^-127, 255 -> NaN."""
     byte = byte.astype(jnp.int32)

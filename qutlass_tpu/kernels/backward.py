@@ -47,8 +47,8 @@ def _backward_t_kernel(x_ref, h_ref, q_ref, st_ref):
 
     g = z.reshape(bn // 32, 32, bk)
     amax = jnp.max(jnp.abs(g), axis=1)
-    scale_f, byte = C.pow2_floor_e8m0(amax)    # no +1e-8 (bwd quantizer)
-    q = (g / scale_f[:, None, :] * 3.0).reshape(bn, bk)
+    _, byte = C.pow2_floor_e8m0(amax)          # no +1e-8 (bwd quantizer)
+    q = (g * C.e8m0_recip_f32(byte)[:, None, :] * 3.0).reshape(bn, bk)
     packed = _pack_sublane_pairs(C.e2m1_rtne_codes(q))  # [128, bk]
     q_ref[...] = packed.T                      # [bk, 128] -> out [K, N/2]
     st_ref[...] = byte.astype(jnp.uint8)       # [bn/32, bk] -> [N/32, K]
@@ -112,8 +112,8 @@ def _backward_qt_kernel(alpha_ref, xq_ref, xst_ref, h2_ref, q_ref, st_ref):
 
     g = zt.reshape(bm // 32, 32, bn)
     amax = jnp.max(jnp.abs(g), axis=1)
-    scale_f, byte = C.pow2_floor_e8m0(amax / al)
-    q = (g * (3.0 / (scale_f[:, None, :] * al))).reshape(bm, bn)
+    _, byte = C.pow2_floor_e8m0(amax / al)
+    q = (g * ((3.0 / al) * C.e8m0_recip_f32(byte)[:, None, :])).reshape(bm, bn)
     packed = _pack_sublane_pairs(C.e2m1_rtne_codes(q))  # [bm/2, bn]
     q_ref[...] = packed.T                      # [bn, bm/2] -> out [N, M/2]
     st_ref[...] = byte.astype(jnp.uint8)       # [bm/32, bn] -> [M/32, N]

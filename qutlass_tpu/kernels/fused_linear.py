@@ -63,8 +63,8 @@ def quantize_dequant_tile(x, h128, method):
         scale = C.mx_scale_quest(s1, s2, 32.0)
     else:
         scale = C.mx_scale_absmax(jnp.max(jnp.abs(g), axis=1))
-    scale_f, _ = C.pow2_floor_e8m0(scale)
-    q = g / scale_f[:, None, :]
+    scale_f, byte = C.pow2_floor_e8m0(scale)
+    q = g * C.e8m0_recip_f32(byte)[:, None, :]
     if method != "quest":
         q = q * 3.0
     vals = _rtne_e2m1_values(q.reshape(bk, bm))

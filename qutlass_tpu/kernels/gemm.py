@@ -51,29 +51,29 @@ def _unpack_interleaved(pk_ref):
     return pltpu.bitcast(u16, jnp.uint8).astype(jnp.int32)
 
 
-def _swar_decode_bf16(v, sbm1x):
+def _swar_decode_bf16(v, sbx7):
     """SWAR fp4 decode: both nibbles of each byte in one i32 lane.
 
-    ``v``: packed bytes widened to i32 [bk/2, m].  ``sbm1x``: per-lane
-    i32 holding (e8m0_byte - 1) in BOTH 16-bit halves (the two nibbles
-    of a byte are consecutive K elements, hence always the same scale
-    group).  Builds the two scaled bf16 bit patterns in the two halves
-    of the word — every VPU op processes two elements — then one 32->16
-    bitcast doubles the sublanes into natural K order (little-endian:
-    row 2k = low half = low nibble).
+    ``v``: packed bytes widened to i32 [bk/2, m].  ``sbx7``: per-lane
+    i32 holding (e8m0_byte - 1) << 7 in BOTH 16-bit halves (the two
+    nibbles of a byte are consecutive K elements, hence always the same
+    scale group).  Builds the two scaled bf16 bit patterns in the two
+    halves of the word — every VPU op processes two elements — then one
+    32->16 bitcast doubles the sublanes into natural K order
+    (little-endian: row 2k = low half = low nibble).
 
     Per 16-bit half with code c = [s e1 e0 m]:
-      exp_field = e + scale_byte - 1, mant bit6 = m (if e != 0),
-      which covers the whole nonzero grid incl. code 1 (0.5); codes
-      0/8 are flushed to ±0 by a mask derived from bits already in
-      hand (t | m).  Exact for scale bytes in [1, 254] with in-range
-      products — the only values the quantizers emit (docs/NUMERICS.md).
+      bf16 bits = ((e | m-if-e!=0) << 6) + ((scale_byte - 1) << 7)
+    i.e. exp_field = e + scale_byte - 1, mant bit6 = m — which covers
+    the whole nonzero grid incl. code 1 (0.5, via e = 0); codes 0/8
+    flush to +/-0 by a mask from bits already in hand.  Exact for
+    scale bytes in [1, 254] with in-range products — the only values
+    the quantizers emit (docs/NUMERICS.md).
     """
-    c = (v & 0xF) | ((v & 0xF0) << 12)      # codes in halves 0 and 16
-    e = (c >> 1) & 0x30003                   # exponent bits per half
-    t = (e | (e >> 1)) & 0x10001             # 1 iff e != 0
-    mant = (c & t) << 6                      # mantissa bit (e==0 -> 0)
-    bits = ((e + sbm1x) << 7) | mant
+    c = (v | (v << 12)) & 0x000F000F         # codes in halves 0 and 16
+    e2 = (c >> 1) & 0x30003                  # exponent bits per half
+    t = (e2 | (e2 >> 1)) & 0x10001           # 1 iff e != 0
+    bits = ((c & (t | 0x60006)) << 6) + sbx7
     nz = (t | c) & 0x10001                   # 0 iff code in {0, 8}
     nzm = (nz << 16) - nz                    # 0xFFFF per nonzero half
     bits = (bits & nzm) | ((c & 0x80008) << 12)
@@ -83,8 +83,8 @@ def _swar_decode_bf16(v, sbm1x):
 def _dequant_fp4_mx(pk_ref, sf_ref):
     """Packed [bk/2, m] u8 + e8m0 [bk/32, m] -> bf16 [bk, m] (exact)."""
     sb = sf_ref[...].astype(jnp.int32)
-    sbm1x = _expand_scales((sb - 1) * 0x10001, 16)
-    return _swar_decode_bf16(pk_ref[...].astype(jnp.int32), sbm1x)
+    sbx7 = _expand_scales((sb - 1) * 0x00800080, 16)
+    return _swar_decode_bf16(pk_ref[...].astype(jnp.int32), sbx7)
 
 
 def _dequant_fp4_nv(pk_ref, sf_ref):
@@ -95,7 +95,7 @@ def _dequant_fp4_nv(pk_ref, sf_ref):
     significand, so one bf16 multiply keeps the result exact.
     """
     vals = _swar_decode_bf16(pk_ref[...].astype(jnp.int32),
-                             jnp.int32(126 * 0x10001))
+                             jnp.int32(126 * 0x00800080))
     sf = C.e4m3_decode_f32(sf_ref[...].astype(jnp.int32)).astype(jnp.bfloat16)
     return vals * _expand_scales(sf, 16)
 

@@ -67,8 +67,9 @@ def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest,
     else:
         scale = C.mx_scale_absmax(jnp.max(jnp.abs(g), axis=1))
 
-    scale_f, byte = C.pow2_floor_e8m0(scale)    # [bk/32, bm]
-    q = (g / scale_f[:, None, :]).reshape(bk, bm)
+    _, byte = C.pow2_floor_e8m0(scale)          # [bk/32, bm]
+    inv = C.e8m0_recip_f32(byte)                # exact pow2 reciprocal
+    q = (g * inv[:, None, :]).reshape(bk, bm)
     if method != "quest":
         q = q * 3.0
 

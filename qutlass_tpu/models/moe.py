@@ -1,0 +1,183 @@
+"""Mixture-of-Experts decoder family (Qwen3-MoE geometry) with MXFP4
+W4A4 expert MLPs.
+
+Extends the dense transformer (transformer.py) with top-k
+capacity-based expert routing; every expert projection (gate/up/down)
+and the attention projections run through the quantized linear path.
+Under a mesh, expert weights shard over the 'ep' axis with
+parallel.strategies.moe_mlp_ep; this single-device module is the
+numerics reference for that path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import qutlass_tpu as q
+
+from .transformer import (ModelConfig, _linear, _rms_norm, _rope,
+                          init_params as _dense_init,
+                          quantize_model_weights as _dense_quant)
+
+
+@dataclasses.dataclass(frozen=True)
+class MoeConfig(ModelConfig):
+    n_experts: int = 64
+    top_k: int = 4
+    moe_intermediate: int = 768
+
+
+QWEN3_MOE_30B_A3B = MoeConfig(
+    vocab_size=151_936, hidden_size=2048, intermediate_size=6144,
+    num_layers=48, num_heads=32, num_kv_heads=4, head_dim=128,
+    n_experts=128, top_k=8, moe_intermediate=768)
+
+
+def tiny_moe_config(**kw) -> MoeConfig:
+    base = dict(vocab_size=512, hidden_size=256, intermediate_size=512,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+                qk_norm=True, n_experts=4, top_k=2, moe_intermediate=256)
+    base.update(kw)
+    return MoeConfig(**base)
+
+
+def init_params(cfg: MoeConfig, key: jax.Array, dtype=jnp.bfloat16):
+    """Dense-init params with each layer's MLP replaced by an MoE block."""
+    params = _dense_init(cfg, key, dtype)
+    keys = jax.random.split(jax.random.fold_in(key, 17), cfg.num_layers)
+    for i, layer in enumerate(params["layers"]):
+        ks = jax.random.split(keys[i], 4)
+        del layer["gate_proj"], layer["up_proj"], layer["down_proj"]
+        e, d, mi = cfg.n_experts, cfg.hidden_size, cfg.moe_intermediate
+        layer["router"] = (jax.random.normal(ks[0], (d, e), jnp.float32)
+                           * d ** -0.5)
+        layer["expert_gate"] = (jax.random.normal(ks[1], (e, mi, d), jnp.float32)
+                                * d ** -0.5).astype(dtype)
+        layer["expert_up"] = (jax.random.normal(ks[2], (e, mi, d), jnp.float32)
+                              * d ** -0.5).astype(dtype)
+        layer["expert_down"] = (jax.random.normal(ks[3], (e, d, mi), jnp.float32)
+                                * mi ** -0.5).astype(dtype)
+    return params
+
+
+def quantize_model_weights(cfg: MoeConfig, params, h, method: str = "quest"):
+    """Quantize attention projections and every expert weight to MXFP4."""
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            wqt, wst = q.fusedQuantizeMx(layer[name], h, method=method,
+                                         layout="kmajor")
+            ql[name] = {"wqt": wqt, "wst": wst}
+        for name in ("expert_gate", "expert_up", "expert_down"):
+            per = []
+            for e in range(cfg.n_experts):
+                wqt, wst = q.fusedQuantizeMx(layer[name][e], h, method=method,
+                                             layout="kmajor")
+                per.append({"wqt": wqt, "wst": wst})
+            ql[name] = per
+        out["layers"].append(ql)
+    return out
+
+
+def topk_dispatch(logits: jax.Array, top_k: int, capacity: int):
+    """Top-k capacity router -> (dispatch [m, E, cap] f32, gates [m, E]).
+
+    Iterated top-1 dispatch: slot positions are cumulative per expert
+    across the k rounds (tokens overflowing an expert's capacity drop).
+    Gate weights are the softmax probs of the chosen experts,
+    renormalized over the k picks (Qwen3-MoE norm_topk_prob behavior).
+    """
+    m, e = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    remaining = probs
+    counts = jnp.zeros((e,), jnp.int32)
+    pieces, gates = [], jnp.zeros((m, e), jnp.float32)
+    for _ in range(top_k):
+        choice = jnp.argmax(remaining, axis=-1)               # [m]
+        onehot = jax.nn.one_hot(choice, e, dtype=jnp.float32)
+        pos = (jnp.cumsum(onehot, axis=0) - onehot) * onehot
+        pos = jnp.sum(pos, axis=-1).astype(jnp.int32) + counts[choice]
+        keep = (pos < capacity).astype(jnp.float32)
+        pieces.append(onehot[:, :, None]
+                      * jax.nn.one_hot(pos, capacity, dtype=jnp.float32)[:, None]
+                      * keep[:, None, None])
+        gates = gates + onehot * probs * keep[:, None]
+        counts = counts + jnp.sum(onehot, axis=0).astype(jnp.int32)
+        remaining = remaining * (1.0 - onehot)
+    dispatch = sum(pieces)
+    gates = gates / jnp.maximum(jnp.sum(gates, -1, keepdims=True), 1e-9)
+    return dispatch, gates
+
+
+def _moe_mlp(cfg: MoeConfig, layer, x2, h, method, quantized):
+    """x2 [m, D] -> MoE MLP output [m, D] (single-device dense routing)."""
+    m, d = x2.shape
+    cap = max(32, int(2 * cfg.top_k * m / cfg.n_experts))
+    logits = x2.astype(jnp.float32) @ jnp.asarray(layer["router"], jnp.float32)
+    dispatch, gates = topk_dispatch(logits, cfg.top_k, cap)
+
+    buf = jnp.einsum("mec,md->ecd", dispatch,
+                     x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    outs = []
+    for e in range(cfg.n_experts):
+        ge = _linear(buf[e], layer["expert_gate"][e], h, method, quantized)
+        up = _linear(buf[e], layer["expert_up"][e], h, method, quantized)
+        act = (jax.nn.silu(ge.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(jnp.bfloat16)
+        outs.append(_linear(act, layer["expert_down"][e], h, method,
+                            quantized))
+    back = jnp.stack(outs).astype(jnp.float32)                # [E, cap, D]
+    comb = jnp.einsum("mec,ecd->med", dispatch, back)         # [m, E, D]
+    y = jnp.einsum("med,me->md", comb, gates)
+    return y.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method"))
+def forward(cfg: MoeConfig, params, tokens, h=None, *, quantized=False,
+            method: str = "quest"):
+    """Prefill forward for the MoE family: [B, T] -> logits [B, T, V]."""
+    b, t = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.arange(t)
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    for layer in params["layers"]:
+        xin = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+        qh = _linear(xin, layer["q_proj"], h, method, quantized)
+        kh = _linear(xin, layer["k_proj"], h, method, quantized)
+        vh = _linear(xin, layer["v_proj"], h, method, quantized)
+        qh = qh.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        kh = kh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        vh = vh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            qh = _rms_norm(qh, layer["q_norm"], cfg.rms_eps)
+            kh = _rms_norm(kh, layer["k_norm"], cfg.rms_eps)
+        qh = _rope(qh, positions, cfg.rope_theta)
+        kh = _rope(kh, positions, cfg.rope_theta)
+        rep = cfg.num_heads // cfg.num_kv_heads
+        kh = jnp.repeat(kh, rep, axis=2)
+        vh = jnp.repeat(vh, rep, axis=2)
+        scores = jnp.einsum("bthd,bshd->bhts", qh.astype(jnp.float32),
+                            kh.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
+        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhts,bshd->bthd", probs,
+                          vh.astype(jnp.float32)).astype(x.dtype)
+        attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
+        x = x + _linear(attn, layer["o_proj"], h, method, quantized)
+
+        xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+        y = _moe_mlp(cfg, layer, xin.reshape(b * t, -1), h, method, quantized)
+        x = x + y.reshape(b, t, -1)
+
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head", params["embed"])
+    logits = jax.lax.dot_general(x, head, (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    return logits

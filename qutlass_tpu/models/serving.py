@@ -1,0 +1,147 @@
+"""Serving harness: KV-cache prefill + autoregressive decode.
+
+The reference's end-to-end numbers come from its vLLM / HF Transformers
+integrations (README.md:50-51,152-168) — inference servers the library
+plugs into.  This module is the TPU-native equivalent: a static-shape
+KV cache, a jitted prefill that fills it, and a jitted greedy decode
+loop (`lax.scan`) whose every projection runs the MXFP4 W4A4 path
+(M = batch, the fused quantize+GEMM kernel's home regime).
+
+All shapes are static (max_len fixed up front); positions are traced
+scalars, so the whole generate loop compiles once.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transformer import ModelConfig, _linear, _rms_norm, _rope
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_len: int):
+    """Per-layer KV cache pytree: k/v [B, max_len, kv_heads, head_dim]."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return [{"k": jnp.zeros(shape, jnp.bfloat16),
+             "v": jnp.zeros(shape, jnp.bfloat16)} for _ in range(cfg.num_layers)]
+
+
+def _attend(cfg, qh, kc, vc, pos_limit):
+    """q [B, T, H, D] against cache k/v [B, L, KVH, D], masked to
+    positions < pos_limit + per-query causality offset."""
+    b, t, _, _ = qh.shape
+    l = kc.shape[1]
+    rep = cfg.num_heads // cfg.num_kv_heads
+    kr = jnp.repeat(kc, rep, axis=2)
+    vr = jnp.repeat(vc, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", qh.astype(jnp.float32),
+                        kr.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
+    qpos = pos_limit - t + jnp.arange(t)          # absolute pos of each query
+    spos = jnp.arange(l)
+    mask = spos[None, :] <= qpos[:, None]          # [t, l]
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, vr.astype(jnp.float32))
+    return out.astype(jnp.bfloat16)
+
+
+def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized):
+    """One transformer block over x [B, T, D], updating the KV cache at
+    positions [start_pos, start_pos + T)."""
+    b, t, _ = x.shape
+    xin = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+    qh = _linear(xin, layer["q_proj"], h, method, quantized)
+    kh = _linear(xin, layer["k_proj"], h, method, quantized)
+    vh = _linear(xin, layer["v_proj"], h, method, quantized)
+    qh = qh.reshape(b, t, cfg.num_heads, cfg.head_dim)
+    kh = kh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    vh = vh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        qh = _rms_norm(qh, layer["q_norm"], cfg.rms_eps)
+        kh = _rms_norm(kh, layer["k_norm"], cfg.rms_eps)
+    positions = start_pos + jnp.arange(t)
+    qh = _rope(qh, positions, cfg.rope_theta)
+    kh = _rope(kh, positions, cfg.rope_theta)
+
+    kc = jax.lax.dynamic_update_slice(cache_l["k"], kh, (0, start_pos, 0, 0))
+    vc = jax.lax.dynamic_update_slice(cache_l["v"], vh, (0, start_pos, 0, 0))
+
+    attn = _attend(cfg, qh, kc, vc, start_pos + t)
+    attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
+    x = x + _linear(attn, layer["o_proj"], h, method, quantized)
+
+    xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+    gate = _linear(xin, layer["gate_proj"], h, method, quantized)
+    up = _linear(xin, layer["up_proj"], h, method, quantized)
+    act = (jax.nn.silu(gate.astype(jnp.float32))
+           * up.astype(jnp.float32)).astype(x.dtype)
+    x = x + _linear(act, layer["down_proj"], h, method, quantized)
+    return x, {"k": kc, "v": vc}
+
+
+def _logits(cfg, params, x):
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head", params["embed"])
+    return jax.lax.dot_general(x, head, (((x.ndim - 1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "quantized", "method", "max_len"))
+def prefill(cfg: ModelConfig, params, tokens, h=None, *, max_len: int,
+            quantized: bool = False, method: str = "quest"):
+    """Prefill [B, T] prompt -> (last-position logits [B, vocab], cache)."""
+    b, t = tokens.shape
+    cache = init_cache(cfg, b, max_len)
+    x = params["embed"][tokens]
+    new_cache = []
+    for layer, cache_l in zip(params["layers"], cache):
+        x, cl = _block(cfg, layer, x, cache_l, 0, h, method, quantized)
+        new_cache.append(cl)
+    return _logits(cfg, params, x[:, -1]), new_cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "quantized", "method"))
+def decode_step(cfg: ModelConfig, params, cache, token, pos, h=None, *,
+                quantized: bool = False, method: str = "quest"):
+    """One decode step: token [B] int32 at position ``pos`` (traced).
+
+    Returns (logits [B, vocab], updated cache).
+    """
+    x = params["embed"][token][:, None]            # [B, 1, D]
+    new_cache = []
+    for layer, cache_l in zip(params["layers"], cache):
+        x, cl = _block(cfg, layer, x, cache_l, pos, h, method, quantized)
+        new_cache.append(cl)
+    return _logits(cfg, params, x[:, 0]), new_cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "steps", "quantized", "method",
+                                    "max_len"))
+def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
+             max_len: int, quantized: bool = False, method: str = "quest"):
+    """Greedy generation: prompt [B, T] -> tokens [B, steps].
+
+    One compiled dispatch: prefill + ``steps`` decode iterations under
+    ``lax.scan``.
+    """
+    b, t = prompt.shape
+    logits, cache = prefill(cfg, params, prompt, h, max_len=max_len,
+                            quantized=quantized, method=method)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def step(carry, _):
+        token, pos, cache = carry
+        logits, cache = decode_step(cfg, params, cache, token, pos, h,
+                                    quantized=quantized, method=method)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, pos + 1, cache), token
+
+    (_, _, _), toks = jax.lax.scan(step, (first, jnp.int32(t), cache),
+                                   None, length=steps)
+    return jnp.swapaxes(toks, 0, 1)               # [B, steps]

@@ -161,12 +161,13 @@ def _linear(x, w, h, method, quantized: bool):
     wqt, wst = w["wqt"], w["wst"]
     k, n = wqt.shape[0] * 2, wqt.shape[1]
     x2 = x.reshape(-1, k)
-    if x2.shape[0] <= 256:
-        y = q.fused_linear_mxf4(x2, wqt, wst, h, method=method)
-    else:
-        xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
-        y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
-                                      jnp.ones((1,), jnp.float32))
+    # measured on v5e: the composed pipeline beats the single fused
+    # kernel at every M (the fused kernel re-quantizes the activation
+    # tile per N-block) — kmajor quantize + kmajor GEMM is the
+    # production path at all sizes
+    xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
+    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
+                                  jnp.ones((1,), jnp.float32))
     return y.reshape(*x.shape[:-1], n)
 
 

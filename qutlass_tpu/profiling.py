@@ -19,15 +19,18 @@ import numpy as np
 def chain_dep(x, dep):
     """Inject the scalar chain dependency ``dep`` into operand ``x``.
 
-    Uses a single-element dynamic-update add — unlike ``x + dep`` this
-    cannot be distributed through a following dot by XLA's algebraic
-    simplifier (which would hoist the matmul out of the timing loop).
+    Numerically the identity, but opaque to XLA's simplifier.  A
+    broadcast ``x + dep`` gets distributed through a following dot
+    (hoisting the matmul out of the timing loop); a single-element
+    dynamic-update still lets XLA recompute just the touched row.  An
+    elementwise max against a huge negative traced value admits
+    neither rewrite.
     """
     import jax.numpy as jnp
     d = dep.reshape(()).astype(jnp.float32)
     if x.dtype == jnp.uint8:
-        return x.at[(0,) * x.ndim].add((d * 1e-30).astype(jnp.uint8))
-    return x.at[(0,) * x.ndim].add((d * 1e-30).astype(x.dtype))
+        return jnp.maximum(x, (d * 1e-30).astype(jnp.uint8))
+    return jnp.maximum(x, (d * 1e-30 - 3e38).astype(x.dtype))
 
 
 def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 3) -> float:
@@ -54,7 +57,10 @@ def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 3) -> float:
             def body(c, _):
                 for _ in range(chain):
                     out = op(c)
-                    c = out.ravel()[:1].astype(jnp.float32) * 1e-30
+                    # full reduction: consuming a slice instead lets XLA
+                    # narrow the op to computing only that element (it
+                    # rewrote the bf16 baseline matmul to a f32[1,1] dot)
+                    c = jnp.sum(out, dtype=jnp.float32).reshape(1) * 1e-30
                 return c, None
             c, _ = lax.scan(body, dep, None, length=n)
             return c

@@ -1,0 +1,45 @@
+"""MoE model family tests (tiny config, CPU emulation)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qutlass_tpu.models import moe, tiny_moe_config
+from helpers import bf16_hadamard
+
+
+def test_topk_dispatch_invariants():
+    rng = np.random.default_rng(0)
+    m, e, k, cap = 64, 4, 2, 48
+    logits = jnp.asarray(rng.standard_normal((m, e)), jnp.float32)
+    dispatch, gates = moe.topk_dispatch(logits, k, cap)
+    d = np.asarray(dispatch)
+    # each token occupies at most k buffer slots, each slot once
+    assert d.sum() <= m * k + 1e-6
+    assert np.all(d.reshape(m, -1).sum(-1) <= k + 1e-6)
+    slot_use = d.sum(axis=0)          # [E, cap] — at most one token/slot
+    assert np.all(slot_use <= 1 + 1e-6)
+    g = np.asarray(gates)
+    np.testing.assert_allclose(g.sum(-1), 1.0, atol=1e-5)
+    assert np.all((g > 0).sum(-1) <= k)
+
+
+def test_moe_forward_and_quantized():
+    cfg = tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                              cfg.vocab_size)
+
+    out = moe.forward(cfg, params, toks, h)
+    assert out.shape == (2, 8, cfg.vocab_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+    qparams = moe.quantize_model_weights(cfg, params, h)
+    outq = moe.forward(cfg, qparams, toks, h, quantized=True)
+    assert np.isfinite(np.asarray(outq)).all()
+    # random-init tiny models are the worst case for W4A4 (no outlier
+    # structure, 2 stacked quantized layers); same bar as test_models
+    a = np.asarray(out, np.float32).ravel()
+    b = np.asarray(outq, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.6, cos
