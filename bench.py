@@ -49,10 +49,10 @@ def main():
 
     from qutlass_tpu.profiling import benchmark as _benchmark, chain_dep
 
-    def bench_scan(op):
+    def bench_scan(op, params=None):
         if on_tpu:
-            return _benchmark(op)
-        return _benchmark(op, iters=2, chain=2, repeats=1)
+            return _benchmark(op, params=params)
+        return _benchmark(op, iters=2, chain=2, repeats=1, params=params)
 
     rng = np.random.default_rng(0)
     hm = np.array([[1.0]])
@@ -65,26 +65,42 @@ def main():
     N, K = 5120, 5120
     MS = [16, 64, 256, 1024, 2048] if on_tpu else [16, 64]
 
-    w = jnp.asarray((rng.standard_normal((N, K)) * 0.05).astype(ml_dtypes.bfloat16))
-    wqt, wst = P.fused_quantize_mx(w, h, rot_size=32, method="quest",
-                                   layout="kmajor")
-    wT = w.T
+    # 8 distinct weights, cycled through the timing chain like real
+    # transformer layers — one weight re-used across the loop would let
+    # XLA keep it VMEM-resident, which multi-layer execution cannot
+    NW = 8 if on_tpu else 2
+    wTs, wqts, wsts = [], [], []
+    for i in range(NW):
+        w = jnp.asarray((rng.standard_normal((N, K)) * 0.05
+                         ).astype(ml_dtypes.bfloat16))
+        wqt, wst = P.fused_quantize_mx(w, h, rot_size=32, method="quest",
+                                       layout="kmajor")
+        wTs.append(w.T)
+        wqts.append(wqt)
+        wsts.append(wst)
+
+    # weights travel as jit ARGUMENTS (closure-captured arrays are
+    # embedded as HLO constants — the remote-compile tunnel rejects
+    # requests over ~100 MB)
+    qparams = {"wqt": wqts, "wst": wsts}
+    bparams = {"wT": wTs}
 
     speedups = []
     for M in MS:
         a = jnp.asarray((rng.standard_normal((M, K))).astype(ml_dtypes.bfloat16))
 
-        def quant_linear(d):
+        def quant_linear(d, j, p):
             x = chain_dep(a, d)
             xqt, xst = P.fused_quantize_mx(x, h, rot_size=32, method="quest",
                                            layout="kmajor")
-            return P.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, one)
+            return P.matmul_mxf4_bf16_kmajor(xqt, p["wqt"][j % NW], xst,
+                                             p["wst"][j % NW], one)
 
-        def bf16_linear(d):
-            return chain_dep(a, d) @ wT
+        def bf16_linear(d, j, p):
+            return chain_dep(a, d) @ p["wT"][j % NW]
 
-        tq = bench_scan(quant_linear)
-        tb = bench_scan(bf16_linear)
+        tq = bench_scan(quant_linear, qparams)
+        tb = bench_scan(bf16_linear, bparams)
         s = tb / tq
         speedups.append(s)
         tf = 2 * M * N * K / tq / 1e12

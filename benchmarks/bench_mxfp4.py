@@ -1,16 +1,19 @@
 """Full MXFP4 benchmark sweep (reference protocol:
 benchmarks/bench_mxfp4_sm120.py:161-178).
 
-Per (model layer N,K) x hadamard size x M: times the "actual" path
-(fused quantize + GEMM), the "ideal" path (GEMM only, operands
-pre-quantized), and the bf16 matmul, reporting TFLOP/s = 2*M*N*K/t.
+Per (model layer N,K) x hadamard size x M: times
+  actual — quantize + kmajor GEMM (the production composed path),
+  fused  — the single-kernel quantize+GEMM linear (v2),
+  ideal  — GEMM only, operands pre-quantized,
+  bf16   — the baseline matmul,
+reporting TFLOP/s = 2*M*N*K/t with the slope-timed chained-scan
+harness (qutlass_tpu.profiling) and weights cycled per chain step.
 
-Usage:  python benchmarks/bench_mxfp4.py [--model qwen3-32b] [--out f.json]
+Usage:  python benchmarks/bench_mxfp4.py [--model qwen3-32b] [--had 32]
 """
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -30,34 +33,18 @@ def main():
     ap.add_argument("--ms", type=int, nargs="*",
                     default=[1, 16, 64, 256, 1024, 2048])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-fused", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from jax import lax
     import ml_dtypes
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from qutlass_tpu.ops import pallas_ops as P
+    from qutlass_tpu.profiling import (benchmark, chain_dep,
+                                       enable_compile_cache)
 
-    def bench_scan(op, iters=8, chain=8):
-        @jax.jit
-        def loop(dep):
-            def body(c, _):
-                for _ in range(chain):
-                    out = op(c)
-                    c = out.ravel()[:1].astype(jnp.float32) * 1e-30
-                return c, None
-            c, _ = lax.scan(body, dep, None, length=iters)
-            return c
-        d = jnp.zeros((1,), jnp.float32)
-        loop(d).block_until_ready()
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            loop(d).block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / (iters * chain))
-        return best
+    enable_compile_cache()
+    print(f"# device={jax.devices()[0].device_kind}", flush=True)
 
     rng = np.random.default_rng(0)
     hm = np.array([[1.0]])
@@ -65,44 +52,62 @@ def main():
         hm = np.block([[hm, hm], [hm, -hm]])
     h = jnp.asarray(hm * args.had ** -0.5, jnp.bfloat16)
     one = jnp.ones((1,), jnp.float32)
+    NW = 2   # weights cycled per chain step (defeats VMEM residency)
 
     results = []
     for K, N in MODELS[args.model]:
-        w = jnp.asarray((rng.standard_normal((N, K)) * 0.05)
-                        .astype(ml_dtypes.bfloat16))
-        wqt, wst = P.fused_quantize_mx(w, h, rot_size=args.had,
-                                       method="quest", layout="kmajor")
-        wT = w.T
+        wTs, wqts, wsts = [], [], []
+        for _ in range(NW):
+            w = jnp.asarray((rng.standard_normal((N, K)) * 0.05)
+                            .astype(ml_dtypes.bfloat16))
+            wqt, wst = P.fused_quantize_mx(w, h, rot_size=args.had,
+                                           method="quest", layout="kmajor")
+            wTs.append(w.T)
+            wqts.append(wqt)
+            wsts.append(wst)
+        del w
         for M in args.ms:
             a = jnp.asarray(rng.standard_normal((M, K))
                             .astype(ml_dtypes.bfloat16))
             aqt, ast = P.fused_quantize_mx(a, h, rot_size=args.had,
                                            method="quest", layout="kmajor")
 
-            def actual(d):
-                x = a + d.astype(jnp.bfloat16)
-                if M <= 256:
-                    return P.fused_linear_mxf4(x, wqt, wst, h, one,
-                                               rot_size=args.had)
+            qp = {"wqt": wqts, "wst": wsts, "a": a, "aqt": aqt, "ast": ast}
+            bp = {"wT": wTs, "a": a}
+
+            def actual(d, j, p):
+                x = chain_dep(p["a"], d)
                 xq, xs = P.fused_quantize_mx(x, h, rot_size=args.had,
                                              method="quest", layout="kmajor")
-                return P.matmul_mxf4_bf16_kmajor(xq, wqt, xs, wst, one)
+                return P.matmul_mxf4_bf16_kmajor(xq, p["wqt"][j % NW], xs,
+                                                 p["wst"][j % NW], one)
 
-            def ideal(d):
-                return P.matmul_mxf4_bf16_kmajor(
-                    aqt, wqt, ast, wst, one + d)
+            def fused(d, j, p):
+                return P.fused_linear_mxf4(chain_dep(p["a"], d),
+                                           p["wqt"][j % NW],
+                                           p["wst"][j % NW], h, one,
+                                           rot_size=args.had)
 
-            def bf16(d):
-                return (a + d.astype(jnp.bfloat16)) @ wT
+            def ideal(d, j, p):
+                return P.matmul_mxf4_bf16_kmajor(chain_dep(p["aqt"], d),
+                                                 p["wqt"][j % NW], p["ast"],
+                                                 p["wst"][j % NW], one)
 
+            def bf16(d, j, p):
+                return chain_dep(p["a"], d) @ p["wT"][j % NW]
+
+            cols = [("actual", actual, qp), ("ideal", ideal, qp),
+                    ("bf16", bf16, bp)]
+            if not args.skip_fused:
+                cols.insert(1, ("fused", fused, qp))
             rec = dict(model=args.model, K=K, N=N, M=M, had=args.had)
-            for name, op in (("actual", actual), ("ideal", ideal),
-                             ("bf16", bf16)):
-                t = bench_scan(op)
+            for name, op, pp in cols:
+                t = benchmark(op, params=pp)
                 rec[name + "_us"] = round(t * 1e6, 1)
                 rec[name + "_tflops"] = round(2 * M * N * K / t / 1e12, 2)
             rec["speedup_vs_bf16"] = round(
-                rec["bf16_us"] / rec["actual_us"], 3)
+                rec["bf16_us"] / min(rec["actual_us"],
+                                     rec.get("fused_us", rec["actual_us"])), 3)
             results.append(rec)
             print(json.dumps(rec), flush=True)
 

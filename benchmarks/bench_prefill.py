@@ -43,24 +43,10 @@ def main():
     h = jnp.asarray(hm * 32 ** -0.5, jnp.bfloat16)
     qparams = quantize_model_weights(cfg, params, h)
 
-    def bench(fn, iters=3, chain=2):
-        @jax.jit
-        def loop(dep):
-            def body(c, _):
-                for _ in range(chain):
-                    out = fn(c)
-                    c = out.ravel()[:1] * 1e-30
-                return c, None
-            c, _ = lax.scan(body, dep, None, length=iters)
-            return c
-        d = jnp.zeros((1,), jnp.float32)
-        loop(d).block_until_ready()
-        best = np.inf
-        for _ in range(2):
-            t0 = time.perf_counter()
-            loop(d).block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / (iters * chain))
-        return best
+    from qutlass_tpu.profiling import benchmark
+
+    def bench(fn):
+        return benchmark(fn, iters=2, chain=2, repeats=3)
 
     for seq in args.seqs:
         tokens = jnp.zeros((args.batch, seq), jnp.int32)

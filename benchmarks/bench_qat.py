@@ -75,28 +75,40 @@ def main():
         return jnp.sum(quartet_linear(x, w, h, "quest").astype(jnp.float32) * t)
 
     def bench(step, iters=4, chain=3):
-        @jax.jit
-        def loop(dep):
-            def body(c, _):
-                for _ in range(chain):
-                    gx, gw = step(c)
-                    c = gx.ravel()[:1].astype(jnp.float32) * 1e-30
-                return c, None
-            c, _ = lax.scan(body, dep, None, length=iters)
-            return c
+        # slope-timed at iters and 5*iters (fixed ~30ms dispatch cost
+        # through the tunnel cancels; see qutlass_tpu.profiling)
+        def make(n):
+            @jax.jit
+            def loop(dep):
+                def body(c, _):
+                    for _ in range(chain):
+                        gx, gw = step(c)
+                        c = (jnp.sum(gx, dtype=jnp.float32)
+                             + jnp.sum(gw, dtype=jnp.float32)
+                             ).reshape(1) * 1e-30
+                    return c, None
+                c, _ = lax.scan(body, dep, None, length=n)
+                return c
+            return loop
+        l1, l5 = make(iters), make(5 * iters)
         d = jnp.zeros((1,), jnp.float32)
-        loop(d).block_until_ready()
-        best = np.inf
-        for _ in range(2):
+        l1(d).block_until_ready()
+        l5(d).block_until_ready()
+        t1 = t5 = np.inf
+        for _ in range(3):
             t0 = time.perf_counter()
-            loop(d).block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / (iters * chain))
-        return best
+            l1(d).block_until_ready()
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            l5(d).block_until_ready()
+            t5 = min(t5, time.perf_counter() - t0)
+        return max(t5 - t1, 1e-9) / (4 * iters * chain)
 
+    from qutlass_tpu.profiling import chain_dep
     gq = jax.grad(loss_quartet, argnums=(0, 1))
     gp = jax.grad(loss_pseudo, argnums=(0, 1))
-    tq = bench(lambda d: gq(x + d.astype(jnp.bfloat16), w))
-    tp = bench(lambda d: gp(x + d.astype(jnp.bfloat16), w))
+    tq = bench(lambda d: gq(chain_dep(x, d), w))
+    tp = bench(lambda d: gp(chain_dep(x, d), w))
 
     rec = {"metric": "qat_step_speedup_vs_pseudoquant", "m": m, "n": n,
            "k": k, "quartet_us": round(tq * 1e6, 1),

@@ -3,15 +3,22 @@ Pallas kernel.
 
 For decode / small-prefill shapes the unfused pipeline
 (quantize kernel -> HBM -> GEMM kernel) pays an extra kernel launch and
-an HBM round-trip for the quantized activations; at M <= 256 the
-activation tile lives in VMEM, so the whole reference call stack
-(SURVEY.md §3.1 + §3.2) collapses into a single launch.  The activation
-quantization is recomputed per N-block — negligible at small M.
+an HBM round-trip for the quantized activations; here the whole
+reference call stack (SURVEY.md §3.1 + §3.2) collapses into a single
+launch.
 
-Numerics are identical to fusedQuantizeMx + matmul_mxf4_bf16_tn: the
+Grid design (v2): (i, kk, j) with j (the N-blocks) innermost.  The
+activation tile is quantize-dequantized ONCE per (i, kk) into VMEM
+scratch when j == 0 and reused across every N-block — the v1 design
+(k innermost) recomputed it per N-block, which measured slower than
+the composed pipeline at every M.  Each j owns a slot of a stacked
+f32 accumulator scratch, accumulated across kk and flushed to the
+output at the last kk.
+
+Numerics are identical to fusedQuantize* + matmul_*_kmajor: the
 activation is rotated in bf16->fp32 on the MXU, quantized with the same
-scale math, and the RTNE e2m1 grid value (times its power-of-two scale)
-is reconstructed exactly in bf16.  The abs-max variant folds the /9
+scale math, and the RTNE e2m1 grid value (times its scale) is
+reconstructed exactly in bf16.  The abs-max MX variant folds the /9
 dequant constant into alpha instead of dividing each operand by 3.
 """
 from __future__ import annotations
@@ -74,22 +81,6 @@ def quantize_dequant_tile(x, h128, method):
     return (vals * sexp).astype(jnp.bfloat16)
 
 
-def _fused_linear_kernel(alpha_ref, x_ref, h_ref, wq_ref, wsf_ref, o_ref, acc,
-                         *, method):
-    @pl.when(pl.program_id(2) == 0)
-    def _init():
-        acc[...] = jnp.zeros_like(acc)
-
-    xdq = quantize_dequant_tile(x_ref[...], h_ref[...], method)  # [bk, bm]
-    wdq = _dequant_fp4_mx(wq_ref, wsf_ref)                       # [bk, bn]
-    acc[...] += jax.lax.dot_general(xdq, wdq, _KDIM,
-                                    preferred_element_type=jnp.float32)
-
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-    def _fin():
-        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
-
-
 def quantize_dequant_tile_nv(x, h128, method, gscale):
     """[bm, bk] bf16 -> NVFP4-quantized-then-descaled bf16 [bk, bm].
 
@@ -116,53 +107,61 @@ def quantize_dequant_tile_nv(x, h128, method, gscale):
     return (vals * sexp).astype(jnp.bfloat16)
 
 
-def _fused_linear_nv_kernel(alpha_ref, gs_ref, x_ref, h_ref, wq_ref, wsf_ref,
-                            o_ref, acc, *, method):
-    @pl.when(pl.program_id(2) == 0)
+def _fused_linear_kernel(alpha_ref, gs_ref, x_ref, h_ref, wq_ref, wsf_ref,
+                         o_ref, accs, xdq, *, method, fmt):
+    kk, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _quant():
+        if fmt == "mx":
+            xdq[...] = quantize_dequant_tile(x_ref[...], h_ref[...], method)
+        else:
+            xdq[...] = quantize_dequant_tile_nv(x_ref[...], h_ref[...],
+                                                method, gs_ref[0, 0])
+
+    @pl.when(kk == 0)
     def _init():
-        acc[...] = jnp.zeros_like(acc)
+        accs[j] = jnp.zeros_like(accs[j])
 
-    xdq = quantize_dequant_tile_nv(x_ref[...], h_ref[...], method,
-                                   gs_ref[0, 0])
-    wdq = _dequant_fp4_nv(wq_ref, wsf_ref)
-    acc[...] += jax.lax.dot_general(xdq, wdq, _KDIM,
-                                    preferred_element_type=jnp.float32)
+    dq = _dequant_fp4_mx if fmt == "mx" else _dequant_fp4_nv
+    wdq = dq(wq_ref, wsf_ref)
+    accs[j] += jax.lax.dot_general(xdq[...], wdq, _KDIM,
+                                   preferred_element_type=jnp.float32)
 
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    @pl.when(kk == pl.num_programs(1) - 1)
     def _fin():
-        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
+        o_ref[...] = (accs[j] * alpha_ref[0, 0]).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
-def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha, *, rot_size: int,
-                      method: str = "abs_max"):
-    """Single-kernel NVFP4 linear: quantize x (group 16, e4m3 scales,
-    activation ``global_scale``) and GEMM against a K-major weight.
-    """
+def _run_fused(x, wqt, wst, h, global_scale, alpha, rot_size, method, fmt,
+               gs_group):
     m, k = x.shape
     n = wqt.shape[1]
     bm, bn, bk = fused_linear_tiles(m, n, k)
-    grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
+    nj = ceil_div(n, bn)
+    grid = (ceil_div(m, bm), k // bk, nj)
     al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
     gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
 
     return pl.pallas_call(
-        functools.partial(_fused_linear_nv_kernel, method=method),
+        functools.partial(_fused_linear_kernel, method=method, fmt=fmt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, kk, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, kk, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, kk, j: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, kk, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, kk, j: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // gs_group, bn), lambda i, kk, j: (kk, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, kk, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nj, bm, bn), jnp.float32),
+                        pltpu.VMEM((bk, bm), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
     )(al, gs, x, _h128(h, rot_size), wqt, wst)
 
 
@@ -174,28 +173,17 @@ def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
     x: [M, K] bf16; wqt/wst: K-major quantized weight
     (fused_quantize_mx(..., layout='kmajor')); h: [gs, gs] rotation.
     """
-    m, k = x.shape
-    n = wqt.shape[1]
-    bm, bn, bk = fused_linear_tiles(m, n, k)
-    grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
-    al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    al = jnp.asarray(alpha, jnp.float32)
     if method != "quest":
         al = al * (1.0 / 9.0)
+    return _run_fused(x, wqt, wst, h, 1.0, al, rot_size, method, "mx", 32)
 
-    return pl.pallas_call(
-        functools.partial(_fused_linear_kernel, method=method),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 32, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(al, x, _h128(h, rot_size), wqt, wst)
+
+@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha, *, rot_size: int,
+                      method: str = "abs_max"):
+    """Single-kernel NVFP4 linear: quantize x (group 16, e4m3 scales,
+    activation ``global_scale``) and GEMM against a K-major weight.
+    """
+    return _run_fused(x, wqt, wst, h, global_scale, alpha, rot_size, method,
+                      "nv", 16)

@@ -80,40 +80,48 @@ def _swar_decode_bf16(v, sbx7):
     return pltpu.bitcast(pltpu.bitcast(bits, jnp.uint16), jnp.bfloat16)
 
 
-def _dequant_fp4_mx(pk_ref, sf_ref):
+def _dequant_fp4_mx(pk, sf):
     """Packed [bk/2, m] u8 + e8m0 [bk/32, m] -> bf16 [bk, m] (exact)."""
-    sb = sf_ref[...].astype(jnp.int32)
+    pk, sf = pk[...], sf[...]
+    sb = sf.astype(jnp.int32)
     sbx7 = _expand_scales((sb - 1) * 0x00800080, 16)
-    return _swar_decode_bf16(pk_ref[...].astype(jnp.int32), sbx7)
+    return _swar_decode_bf16(pk.astype(jnp.int32), sbx7)
 
 
-def _dequant_fp4_nv(pk_ref, sf_ref):
+def _dequant_fp4_nv(pk, sf):
     """Packed fp4 + e4m3 scales [bk/16, m] -> bf16 [bk, m].
 
     Grid values decode unscaled (constant exponent base) via the SWAR
     path; the e4m3 scale is exact in bf16 and the product has a <=6-bit
     significand, so one bf16 multiply keeps the result exact.
     """
-    vals = _swar_decode_bf16(pk_ref[...].astype(jnp.int32),
+    pk, sf = pk[...], sf[...]
+    vals = _swar_decode_bf16(pk.astype(jnp.int32),
                              jnp.int32(126 * 0x00800080))
-    sf = C.e4m3_decode_f32(sf_ref[...].astype(jnp.int32)).astype(jnp.bfloat16)
-    return vals * _expand_scales(sf, 16)
+    sfd = C.e4m3_decode_f32(sf.astype(jnp.int32)).astype(jnp.bfloat16)
+    return vals * _expand_scales(sfd, 16)
 
 
 _KDIM = (((0,), (0,)), ((), ()))  # contract sublane (K) dim of both operands
 
 
 def _gemm_fp4_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc,
-                     *, fmt):
+                     *, fmt, split=1):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc[...] = jnp.zeros_like(acc)
 
     dq = _dequant_fp4_mx if fmt == "mx" else _dequant_fp4_nv
-    av = dq(a_ref, asf_ref)
-    bv = dq(b_ref, bsf_ref)
-    acc[...] += jax.lax.dot_general(av, bv, _KDIM,
-                                    preferred_element_type=jnp.float32)
+    # static sub-K split: the decode of chunk s+1 is independent of the
+    # MXU dot of chunk s, letting Mosaic overlap VPU and MXU work
+    kp = a_ref.shape[0]
+    gp = asf_ref.shape[0]
+    for s in range(split):
+        ks, gs_ = kp // split, gp // split
+        av = dq(a_ref[s * ks:(s + 1) * ks], asf_ref[s * gs_:(s + 1) * gs_])
+        bv = dq(b_ref[s * ks:(s + 1) * ks], bsf_ref[s * gs_:(s + 1) * gs_])
+        acc[...] += jax.lax.dot_general(av, bv, _KDIM,
+                                        preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _fin():
@@ -170,7 +178,8 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     m, n = a.shape[0], b.shape[0]
     k = a.shape[1] * 2
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
+    sp = 2 if bk % 512 == 0 else 1
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx", split=sp),
                      a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 32)
 
 
@@ -184,7 +193,8 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     k = at.shape[0] * 2
     m, n = at.shape[1], bt.shape[1]
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
+    sp = 2 if bk % 512 == 0 else 1
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx", split=sp),
                      at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32)
 
 
@@ -194,7 +204,8 @@ def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     m, n = a.shape[0], b.shape[0]
     k = a.shape[1] * 2
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
+    sp = 2 if bk % 512 == 0 else 1
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv", split=sp),
                      a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 16)
 
 
@@ -204,7 +215,8 @@ def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     k = at.shape[0] * 2
     m, n = at.shape[1], bt.shape[1]
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
+    sp = 2 if bk % 512 == 0 else 1
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv", split=sp),
                      at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 16)
 
 

@@ -39,10 +39,15 @@ def _rotate_tile(x, h128):
 
 
 def _pack_sublane_pairs(codes_i32):
-    """e2m1 codes i32 [bk, bm] -> packed u8 [bk/2, bm] (row 2k low nibble)."""
-    u8 = codes_i32.astype(jnp.uint8)
-    u16 = pltpu.bitcast(u8, jnp.uint16).astype(jnp.int32)
-    return ((u16 & 0xF) | ((u16 >> 8) << 4)).astype(jnp.uint8)
+    """e2m1 codes i32 [bk, bm] -> packed u8 [bk/2, bm] (row 2k low nibble).
+
+    Sublane-pair merge via one 16->32 bitcast (little-endian: row 2k
+    lands in the low half) — two dtype-conversion relayouts total
+    instead of three.
+    """
+    u16 = codes_i32.astype(jnp.uint16)
+    u32 = pltpu.bitcast(u16, jnp.uint32).astype(jnp.int32)
+    return ((u32 & 0xF) | ((u32 >> 12) & 0xF0)).astype(jnp.uint8)
 
 
 def _mask_bytes(q_abs_lt6, bk, bm):

@@ -45,16 +45,23 @@ def quantize_tiles(rows: int, k: int) -> tuple[int, int]:
 
 
 def fused_linear_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:
-    """(bm, bn, bk) for the single-kernel quantize+GEMM linear.
+    """(bm, bn, bk) for the single-kernel quantize+GEMM linear (v2).
 
-    The kernel holds the bf16 x-block, its f32 rotation, the decoded
-    weight tile and the accumulator in VMEM at once, so tiles are
-    capped tighter than the plain GEMM's (production use is M <= 256).
+    v2 keeps one f32 accumulator slot per N-block alive across the
+    whole K sweep — total bm x n x 4 bytes of VMEM — plus the
+    quantized-activation scratch and the decoded weight tile, so bm is
+    capped by n.  Production regime is decode / small prefill
+    (m <= ~64); larger m should use the composed pipeline.
     """
-    bm, bn, bk = gemm_tiles(m, n, k, packed=True)
-    bm = min(bm, 256)
-    bn = min(bn, 512)
-    # x [bm,bk] bf16 + rotated f32 + decoded weight [bk,bn] bf16 (+temps)
+    bn = n
+    for t in (512, 256, 128):
+        if n % t == 0:
+            bn = t
+            break
+    # accumulator stack: bm * n * 4 bytes
+    bm = min(m, 256, max(8, (5_500_000 // (4 * n)) // 8 * 8))
+    bk = largest_divisor_multiple(k, 256, 1024) if k % 256 == 0 else k
+    # decoded weight tile + quantize intermediates
     while bk > 256 and bk % 2 == 0 and bk * (6 * bm + 4 * bn) > 6_000_000:
         bk //= 2
     return bm, bn, bk

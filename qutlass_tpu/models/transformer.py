@@ -109,13 +109,23 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16):
 
 
 def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
-                           method: str = "quest"):
-    """Pre-quantize every linear weight to MXFP4 (packed + scales).
+                           method: str = "quest", fmt: str = "mx"):
+    """Pre-quantize every linear weight to MXFP4 or NVFP4.
 
-    Returns a params-like pytree where each ``*_proj`` becomes
-    ``(wq, ws, n, k)``.  The lm head stays bf16 (standard practice).
+    ``fmt="nv"`` uses the vLLM-compatible two-level NVFP4 scheme
+    (method defaults make sense per format: quest for MX, abs_max for
+    NV); the per-weight global scale 6/amax(w·H) is stored alongside.
+    The lm head stays bf16 (standard practice).
     """
     def quant(w):
+        if fmt == "nv":
+            m = "abs_max" if method == "quest" else method
+            wh = _rotate_rows(w, h)
+            gsw = 6.0 / jnp.maximum(
+                jnp.max(jnp.abs(wh)).astype(jnp.float32), 1e-6)
+            wqt, wst = q.fusedQuantizeNv(w, h, gsw, method=m,
+                                         layout="kmajor")
+            return {"wqt": wqt, "wst": wst, "gs": gsw}
         wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
         return {"wqt": wqt, "wst": wst}
 
@@ -133,6 +143,16 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
+
+def _rotate_rows(x, h):
+    """Apply the per-rot_size-chunk rotation along the last axis (f32)."""
+    rot = h.shape[-1]
+    xr = x.reshape(-1, rot).astype(jnp.float32)
+    out = jax.lax.dot_general(xr, h.astype(jnp.float32),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.reshape(x.shape)
+
 
 def _rms_norm(x, w, eps):
     xf = x.astype(jnp.float32)
@@ -161,6 +181,16 @@ def _linear(x, w, h, method, quantized: bool):
     wqt, wst = w["wqt"], w["wst"]
     k, n = wqt.shape[0] * 2, wqt.shape[1]
     x2 = x.reshape(-1, k)
+    if "gs" in w:   # NVFP4 weight (two-level scheme)
+        # vLLM-style two-level NVFP4: per-tensor global scales on both
+        # operands, folded out via alpha = 1/(gs_x * gs_w)
+        xh_amax = jnp.max(jnp.abs(_rotate_rows(x2, h)))
+        gsx = 6.0 / jnp.maximum(xh_amax.astype(jnp.float32), 1e-6)
+        xqt, xst = q.fusedQuantizeNv(x2, h, gsx, method="abs_max",
+                                     layout="kmajor")
+        alpha = (1.0 / (gsx * w["gs"])).reshape(1)
+        y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha)
+        return y.reshape(*x.shape[:-1], n)
     # measured on v5e: the composed pipeline beats the single fused
     # kernel at every M (the fused kernel re-quantizes the activation
     # tile per N-block) — kmajor quantize + kmajor GEMM is the

@@ -33,7 +33,8 @@ def chain_dep(x, dep):
     return jnp.maximum(x, (d * 1e-30 - 3e38).astype(x.dtype))
 
 
-def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 3) -> float:
+def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 5,
+              params=None) -> float:
     """Seconds per op application, fixed dispatch cost removed.
 
     ``op(dep)`` must return an array and must consume the scalar-array
@@ -47,16 +48,34 @@ def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 3) -> float:
     chained scan at ``iters`` and ``3*iters`` iterations and returns
     the slope — per-iteration device time — dividing out the constant.
     """
+    import inspect
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    # ops may take (dep, chain_idx[, params]) to cycle through distinct
+    # buffers — re-using one weight lets XLA keep it VMEM-resident
+    # across the loop, which real multi-layer execution cannot.  Big
+    # buffers must come through ``params`` (a pytree passed as a real
+    # jit argument): closure-captured arrays are embedded as constants
+    # in the compile request, which the remote-compile tunnel rejects
+    # above ~100 MB (HTTP 413).
+    nargs = sum(1 for p in inspect.signature(op).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
+
+    def call(c, j, p):
+        if params is not None:
+            return op(c, j, p) if nargs >= 3 else op(c, p)
+        return op(c, j) if nargs >= 2 else op(c)
+
     def make_loop(n):
         @jax.jit
-        def loop(dep):
+        def loop(dep, p):
             def body(c, _):
-                for _ in range(chain):
-                    out = op(c)
+                for j in range(chain):
+                    out = call(c, j, p)
                     # full reduction: consuming a slice instead lets XLA
                     # narrow the op to computing only that element (it
                     # rewrote the bf16 baseline matmul to a f32[1,1] dot)
@@ -66,19 +85,22 @@ def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 3) -> float:
             return c
         return loop
 
-    loop1, loop3 = make_loop(iters), make_loop(3 * iters)
+    # 5x spread: the tunnel's dispatch constant jitters by ~10 ms, so
+    # the iteration delta must put well more device work than that
+    # between the two loop lengths
+    loop1, loop5 = make_loop(iters), make_loop(5 * iters)
     d = jnp.zeros((1,), jnp.float32)
-    loop1(d).block_until_ready()
-    loop3(d).block_until_ready()
-    t1 = t3 = np.inf
+    loop1(d, params).block_until_ready()
+    loop5(d, params).block_until_ready()
+    t1 = t5 = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        loop1(d).block_until_ready()
+        loop1(d, params).block_until_ready()
         t1 = min(t1, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        loop3(d).block_until_ready()
-        t3 = min(t3, time.perf_counter() - t0)
-    return max(t3 - t1, 1e-9) / (2 * iters * chain)
+        loop5(d, params).block_until_ready()
+        t5 = min(t5, time.perf_counter() - t0)
+    return max(t5 - t1, 1e-9) / (4 * iters * chain)
 
 
 def tflops(m: int, n: int, k: int, seconds: float) -> float:

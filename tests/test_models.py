@@ -52,3 +52,22 @@ def test_llama_style_config(setup):
     tokens = jnp.zeros((1, 16), jnp.int32)
     logits = forward(cfg, params, tokens)
     assert logits.shape == (1, 16, cfg.vocab_size)
+
+
+def test_nvfp4_quantized_forward():
+    from qutlass_tpu.models import (forward, init_params,
+                                    quantize_model_weights, tiny_config)
+    from helpers import bf16_hadamard
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                              cfg.vocab_size)
+    ref = forward(cfg, params, toks, h)
+    qp = quantize_model_weights(cfg, params, h, fmt="nv")
+    out = forward(cfg, qp, toks, h, quantized=True)
+    a = np.asarray(ref, np.float32).ravel()
+    b = np.asarray(out, np.float32).ravel()
+    assert np.isfinite(b).all()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.6, cos
