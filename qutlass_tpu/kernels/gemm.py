@@ -98,8 +98,11 @@ def _dequant_fp4_nv(pk, sf):
     pk, sf = pk[...], sf[...]
     vals = _swar_decode_bf16(pk.astype(jnp.int32),
                              jnp.int32(126 * 0x00800080))
-    sfd = C.e4m3_decode_f32(sf.astype(jnp.int32)).astype(jnp.bfloat16)
-    return vals * _expand_scales(sfd, 16)
+    # expand the f32 scales (32-bit sublane broadcast — the bf16 form
+    # hits an unsupported Mosaic shape cast at some geometries); the
+    # f32 product of exact values downcasts to bf16 exactly
+    sfd = C.e4m3_decode_f32(sf.astype(jnp.int32))
+    return (vals * _expand_scales(sfd, 16)).astype(jnp.bfloat16)
 
 
 _KDIM = (((0,), (0,)), ((), ()))  # contract sublane (K) dim of both operands

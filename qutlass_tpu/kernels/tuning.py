@@ -53,13 +53,14 @@ def fused_linear_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:
     capped by n.  Production regime is decode / small prefill
     (m <= ~64); larger m should use the composed pipeline.
     """
+    # accumulator stack: bm * n * 4 bytes
+    bm = min(m, 256, max(8, (5_500_000 // (4 * n)) // 8 * 8))
     bn = n
-    for t in (512, 256, 128):
+    # decode regime (small bm): wide N tiles amortize per-program cost
+    for t in ((1024, 512, 256, 128) if bm <= 64 else (512, 256, 128)):
         if n % t == 0:
             bn = t
             break
-    # accumulator stack: bm * n * 4 bytes
-    bm = min(m, 256, max(8, (5_500_000 // (4 * n)) // 8 * 8))
     bk = largest_divisor_multiple(k, 256, 1024) if k % 256 == 0 else k
     # decoded weight tile + quantize intermediates
     while bk > 256 and bk % 2 == 0 and bk * (6 * bm + 4 * bn) > 6_000_000:
@@ -89,10 +90,16 @@ def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
     bm, bn = pick(m), pick(n)
     # v5e sweep (M=2048, Qwen3-32B layer): 1024x1024 tiles amortize the
     # fp4 decode best (60.8 TF vs 54.8 at 512x512).
-    bk = largest_divisor_multiple(k, 128, 1024)
+    # bk must keep the scale block's sublane dim (bk/32) 8-divisible on
+    # real hardware: bk % 256 == 0 or bk == K (block == array is legal).
+    bk = largest_divisor_multiple(k, 256, 1024) if k % 256 == 0 else k
     # VMEM guard: decoded bf16 tiles + packed inputs + fp32 accumulator
-    while bk > 256 and bk % 256 == 0 and bk * (bm + bn) * 2 + bm * bn * 4 > 8_400_000:
-        bk //= 2
+    while (bk > 256 and k % 256 == 0
+           and bk * (bm + bn) * 2 + bm * bn * 4 > 8_400_000):
+        nxt = largest_divisor_multiple(k, 256, bk - 256)
+        if nxt >= bk:
+            break
+        bk = nxt
     while bm * bn * 4 > 4_500_000 and bm >= 2 * bn and bm % 2 == 0:
         bm //= 2
     while bm * bn * 4 > 4_500_000 and bn % 2 == 0:
