@@ -50,6 +50,8 @@ def main():
                 t0 = time.perf_counter()
                 fn().block_until_ready()
                 best = min(best, time.perf_counter() - t0)
+            print(f"  steps={steps}: total {best*1e3:8.1f} ms",
+                  file=sys.stderr, flush=True)
             outs.append(best)
         return max(outs[1] - outs[0], 1e-9) / (s2 - s1)
 

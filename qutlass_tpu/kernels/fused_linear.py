@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats import codecs as C
 from ..utils import ceil_div
 from .gemm import _KDIM, _dequant_fp4_mx, _dequant_fp4_nv
-from .quantize import _h128
+from .quantize import _h128, _rotate_tile_t
 from .tuning import fused_linear_tiles
 
 _RTNE = lax.RoundingMethod.TO_NEAREST_EVEN
@@ -60,9 +60,7 @@ def quantize_dequant_tile(x, h128, method):
     For abs-max the *3 stays folded in (caller divides by 9 via alpha).
     """
     bm, bk = x.shape
-    r = x.reshape(bm * bk // 128, 128)
-    xh = jnp.dot(r, h128, preferred_element_type=jnp.float32).reshape(bm, bk)
-    xt = xh.T
+    xt = _rotate_tile_t(x, h128)
     g = xt.reshape(bk // 32, 32, bm)
     if method == "quest":
         s1 = jnp.sum(g, axis=1)
@@ -89,9 +87,7 @@ def quantize_dequant_tile_nv(x, h128, method, gscale):
     alpha, reference epilogue_quant.h:1650-1693).
     """
     bm, bk = x.shape
-    r = x.reshape(bm * bk // 128, 128)
-    xh = jnp.dot(r, h128, preferred_element_type=jnp.float32).reshape(bm, bk)
-    g = xh.T.reshape(bk // 16, 16, bm)
+    g = _rotate_tile_t(x, h128).reshape(bk // 16, 16, bm)
     if method == "quest":
         s1 = jnp.sum(g, axis=1)
         s2 = jnp.sum(g * g, axis=1)
