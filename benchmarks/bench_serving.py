@@ -1,12 +1,12 @@
 """Serving decode-throughput benchmark: MXFP4 W4A4 vs bf16.
 
-Times the compiled generate() loop at two step counts and reports the
-slope (per-decode-step time), cancelling the fixed dispatch cost and
-the shared prefill — the serving analogue of the reference's
-end-to-end prefill benchmark (README.md:152-168).
+Times one KV-cache decode step (the serving hot loop) with the
+slope-timed chained-scan harness — the per-token cost that dominates
+generation; the serving analogue of the reference's end-to-end
+benchmark (README.md:152-168).
 """
+import json
 import sys
-import time
 
 import numpy as np
 
@@ -16,9 +16,9 @@ sys.path.insert(0, "/root/repo")
 def main():
     import jax
     import jax.numpy as jnp
-    from qutlass_tpu.models import (ModelConfig, generate, init_params,
-                                    quantize_model_weights)
-    from qutlass_tpu.profiling import enable_compile_cache
+    from qutlass_tpu.models import (ModelConfig, decode_step, init_params,
+                                    prefill, quantize_model_weights)
+    from qutlass_tpu.profiling import benchmark, enable_compile_cache
 
     enable_compile_cache()
     print("device", jax.devices()[0].device_kind, file=sys.stderr, flush=True)
@@ -37,29 +37,30 @@ def main():
     batch, prompt_len, max_len = 8, 128, 256
     prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt_len),
                                 0, cfg.vocab_size)
+    pos = jnp.int32(prompt_len)
 
     def step_time(p, quantized):
-        s1, s2 = 16, 48
-        outs = []
-        for steps in (s1, s2):
-            fn = lambda: generate(cfg, p, prompt, h, steps=steps,
-                                  max_len=max_len, quantized=quantized)
-            fn().block_until_ready()          # compile
-            best = np.inf
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn().block_until_ready()
-                best = min(best, time.perf_counter() - t0)
-            print(f"  steps={steps}: total {best*1e3:8.1f} ms",
-                  file=sys.stderr, flush=True)
-            outs.append(best)
-        return max(outs[1] - outs[0], 1e-9) / (s2 - s1)
+        _, cache = prefill(cfg, p, prompt, h, max_len=max_len,
+                           quantized=quantized)
+        pp = {"params": p, "cache": cache}
+
+        def op(d, j, pp):
+            tok = ((jnp.abs(d) * 1e30).astype(jnp.int32)[0] + j) % 1000
+            toks = jnp.full((batch,), tok, jnp.int32)
+            logits, _ = decode_step(cfg, pp["params"], pp["cache"], toks,
+                                    pos, h, quantized=quantized)
+            return logits
+
+        return benchmark(op, iters=4, chain=4, params=pp)
 
     tq = step_time(qparams, True)
     tb = step_time(params, False)
-    print(f"decode step: mxfp4 {tq*1e3:8.2f} ms ({batch/tq:8.0f} tok/s)  "
-          f"bf16 {tb*1e3:8.2f} ms ({batch/tb:8.0f} tok/s)  "
-          f"speedup {tb/tq:5.2f}x", file=sys.stderr, flush=True)
+    rec = {"metric": "serving_decode_step_speedup_mxfp4_vs_bf16",
+           "layers": cfg.num_layers, "batch": batch,
+           "mxfp4_ms": round(tq * 1e3, 3), "bf16_ms": round(tb * 1e3, 3),
+           "mxfp4_tok_s": round(batch / tq), "bf16_tok_s": round(batch / tb),
+           "speedup": round(tb / tq, 3)}
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
