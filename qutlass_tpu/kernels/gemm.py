@@ -155,6 +155,8 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
     kp = at.shape[0]          # bk/2 for fp4, bk for fp8
     bkp = kp * bk // k
 
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+
     alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
@@ -169,7 +171,7 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(alpha2, at, bt, asft, bsft)
@@ -181,8 +183,7 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     m, n = a.shape[0], b.shape[0]
     k = a.shape[1] * 2
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    sp = 2 if bk % 512 == 0 else 1
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx", split=sp),
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
                      a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 32)
 
 
@@ -196,8 +197,7 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     k = at.shape[0] * 2
     m, n = at.shape[1], bt.shape[1]
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    sp = 2 if bk % 512 == 0 else 1
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx", split=sp),
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
                      at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32)
 
 
@@ -207,8 +207,7 @@ def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     m, n = a.shape[0], b.shape[0]
     k = a.shape[1] * 2
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    sp = 2 if bk % 512 == 0 else 1
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv", split=sp),
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
                      a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 16)
 
 
@@ -218,8 +217,7 @@ def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     k = at.shape[0] * 2
     m, n = at.shape[1], bt.shape[1]
     _, _, bk = gemm_tiles(m, n, k, packed=True)
-    sp = 2 if bk % 512 == 0 else 1
-    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv", split=sp),
+    return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
                      at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 16)
 
 
