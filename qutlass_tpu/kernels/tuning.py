@@ -88,11 +88,18 @@ def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
         return 256 if d % 256 == 0 else 128
 
     bm, bn = pick(m), pick(n)
+    # decode regime: one full-N column of programs streams B exactly
+    # once with deep DMA pipelining — measured 28 vs 36 us at M=64 and
+    # 58 vs 68 us at M=16 (v5e, N=K=5120) vs 1024-wide tiles
+    if m <= 64 and 256 * (bm + n) * 2 + bm * n * 4 <= 8_400_000:
+        bn = n
     # v5e sweep (M=2048, Qwen3-32B layer): 1024x1024 tiles amortize the
     # fp4 decode best (60.8 TF vs 54.8 at 512x512).
     # bk must keep the scale block's sublane dim (bk/32) 8-divisible on
     # real hardware: bk % 256 == 0 or bk == K (block == array is legal).
     bk = largest_divisor_multiple(k, 256, 1024) if k % 256 == 0 else k
+    if bn == n and m <= 64 and k % 256 == 0:
+        bk = 256          # the measured-best decode config
     # VMEM guard: decoded bf16 tiles + packed inputs + fp32 accumulator
     while (bk > 256 and k % 256 == 0
            and bk * (bm + bn) * 2 + bm * bn * 4 > 8_400_000):
