@@ -191,14 +191,12 @@ def _linear(x, w, h, method, quantized: bool):
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
         y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha)
         return y.reshape(*x.shape[:-1], n)
-    # v5e measurements: the single fused kernel wins in the decode
-    # regime (M<=32); the composed kmajor pipeline wins everywhere else
-    if x2.shape[0] <= 32:
-        y = q.fused_linear_mxf4(x2, wqt, wst, h, method=method)
-    else:
-        xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
-        y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
-                                      jnp.ones((1,), jnp.float32))
+    # v5e: composed kmajor quantize + GEMM wins at every M once the
+    # decode-regime tile table (full-N single-column tiles at M<=64)
+    # landed; the fused single kernel remains available as API surface
+    xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
+    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
+                                  jnp.ones((1,), jnp.float32))
     return y.reshape(*x.shape[:-1], n)
 
 

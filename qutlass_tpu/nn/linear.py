@@ -160,16 +160,12 @@ class QuantizedLinear:
     def __call__(self, x: jax.Array) -> jax.Array:
         shape = x.shape
         x2 = x.reshape(-1, self.k)
-        # v5e: fused single kernel wins at decode sizes, composed
-        # kmajor quantize + GEMM wins at prefill sizes
-        if x2.shape[0] <= 32:
-            y = q.fused_linear_mxf4(x2, self.wqt, self.wst, self.h,
-                                    method=self.method)
-        else:
-            xqt, xst = q.fusedQuantizeMx(x2, self.h, method=self.method,
-                                         layout="kmajor")
-            y = q.matmul_mxf4_bf16_kmajor(xqt, self.wqt, xst, self.wst,
-                                          jnp.ones((1,), jnp.float32))
+        # composed kmajor quantize + GEMM wins at every M on v5e (the
+        # decode-regime tile table streams full-N weight columns)
+        xqt, xst = q.fusedQuantizeMx(x2, self.h, method=self.method,
+                                     layout="kmajor")
+        y = q.matmul_mxf4_bf16_kmajor(xqt, self.wqt, xst, self.wst,
+                                      jnp.ones((1,), jnp.float32))
         return y.reshape(*shape[:-1], self.n)
 
 
