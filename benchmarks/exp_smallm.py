@@ -40,14 +40,14 @@ def main():
     del w
 
     orig = KG.gemm_tiles
-    for M in (16, 64):
+    for M in (2048,):
         a = jnp.asarray(rng.standard_normal((M, K)).astype(ml_dtypes.bfloat16))
         aqt, ast = P.fused_quantize_mx(a, h, rot_size=32, method="quest",
                                        layout="kmajor")
         p = {"wqt": wqts, "wst": wsts, "aqt": aqt, "ast": ast}
-        for bn, bk in ((1024, 1024), (2560, 512), (5120, 256)):
-            KG.gemm_tiles = lambda m, n, k, packed, _bn=bn, _bk=bk: (
-                min(m, 256), _bn, _bk)
+        for bm_, bn, bk in ((512, 2560, 256), (256, 5120, 512), (128, 5120, 256)):
+            KG.gemm_tiles = lambda m, n, k, packed, _bm=bm_, _bn=bn, _bk=bk: (
+                min(m, _bm), _bn, _bk)
             KG.matmul_mxf4_bf16_kmajor.clear_cache()
 
             def gemm(d, j, p):
@@ -57,10 +57,10 @@ def main():
 
             try:
                 t = benchmark(gemm, iters=4, chain=4, params=p)
-                print(f"M={M:3d} bn={bn:5d} bk={bk:5d}: {t*1e6:7.1f}us",
+                print(f"M={M:3d} bm={bm_:4d} bn={bn:5d} bk={bk:5d}: {t*1e6:7.1f}us",
                       flush=True)
             except Exception as e:
-                print(f"M={M:3d} bn={bn:5d} bk={bk:5d}: FAIL "
+                print(f"M={M:3d} bm={bm_:4d} bn={bn:5d} bk={bk:5d}: FAIL "
                       f"{str(e)[:90]}", flush=True)
     KG.gemm_tiles = orig
 

@@ -75,40 +75,26 @@ def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
     reference's separate "ada" kernel plays (gemm_ada.cu:29-135).
     """
     del packed
-    # M/N live on the lane dim of the K-major operand tiles: a block's
-    # lane size must be 128-divisible or equal to the whole array dim.
-    # Large tiles amortize the fp4->bf16 decode (each B tile is decoded
-    # ceil(M/bm) times and vice versa).
-    def pick(d):
-        if d < 128:
-            return d
-        for t in (1024, 512, 256):
-            if d % t == 0 and d >= t:
-                return t
-        return 256 if d % 256 == 0 else 128
-
-    bm, bn = pick(m), pick(n)
-    # decode regime: one full-N column of programs streams B exactly
-    # once with deep DMA pipelining — measured 28 vs 36 us at M=64 and
-    # 58 vs 68 us at M=16 (v5e, N=K=5120) vs 1024-wide tiles
-    if m <= 64 and 256 * (bm + n) * 2 + bm * n * 4 <= 8_400_000:
+    # v5e sweep (every M in {16..2048}, Qwen3-32B layer): bm = 256,
+    # bn as wide as the f32 accumulator budget allows (full N when it
+    # fits), bk = 256 — the shallow-K / wide-N shape pipelines weight
+    # DMA deeply and overlaps the VPU decode under the MXU (M=2048:
+    # 631 us vs 860 at 1024x1024x1024; M=64: 28 vs 36; M=256: 75 vs
+    # 107).  Block lane dims must be 128-divisible or == the array
+    # dim; bk % 256 == 0 (or == K) keeps the scale block's sublane
+    # dim legal.
+    acc_cap = 5_400_000
+    bm = m if m <= 256 else 256
+    if n * bm * 4 <= acc_cap:
         bn = n
-    # v5e sweep (M=2048, Qwen3-32B layer): 1024x1024 tiles amortize the
-    # fp4 decode best (60.8 TF vs 54.8 at 512x512).
-    # bk must keep the scale block's sublane dim (bk/32) 8-divisible on
-    # real hardware: bk % 256 == 0 or bk == K (block == array is legal).
-    bk = largest_divisor_multiple(k, 256, 1024) if k % 256 == 0 else k
-    if bn == n and m <= 64 and k % 256 == 0:
-        bk = 256          # the measured-best decode config
-    # VMEM guard: decoded bf16 tiles + packed inputs + fp32 accumulator
-    while (bk > 256 and k % 256 == 0
-           and bk * (bm + bn) * 2 + bm * bn * 4 > 8_400_000):
-        nxt = largest_divisor_multiple(k, 256, bk - 256)
-        if nxt >= bk:
-            break
-        bk = nxt
-    while bm * bn * 4 > 4_500_000 and bm >= 2 * bn and bm % 2 == 0:
-        bm //= 2
-    while bm * bn * 4 > 4_500_000 and bn % 2 == 0:
+    elif n % 128 == 0:
+        bn = largest_divisor_multiple(n, 128, max(128, acc_cap // (4 * bm)))
+    else:
+        bn = n
+    bk = 256 if k % 256 == 0 else k
+    # VMEM guard: decoded bf16 tiles + accumulator (covers bk == K
+    # fallbacks and huge-N cases)
+    while (bn > 128 and bn % 2 == 0
+           and bk * (bm + bn) * 2 + bm * bn * 4 > 9_000_000):
         bn //= 2
     return bm, bn, bk
