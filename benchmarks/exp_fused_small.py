@@ -36,7 +36,7 @@ def main():
         wTs.append(w.T)
     del w
 
-    for M in [16, 64]:
+    for M in [64, 2048]:
         a = jnp.asarray(rng.standard_normal((M, K)).astype(ml_dtypes.bfloat16))
         p = {"wqt": wqts, "wst": wsts, "wT": wTs, "a": a}
 

@@ -53,18 +53,19 @@ def fused_linear_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:
     capped by n.  Production regime is decode / small prefill
     (m <= ~64); larger m should use the composed pipeline.
     """
-    # accumulator stack: bm * n * 4 bytes
-    bm = min(m, 256, max(8, (5_500_000 // (4 * n)) // 8 * 8))
-    bn = n
-    # decode regime (small bm): wide N tiles amortize per-program cost
-    for t in ((1024, 512, 256, 128) if bm <= 64 else (512, 256, 128)):
-        if n % t == 0:
-            bn = t
-            break
-    bk = largest_divisor_multiple(k, 256, 1024) if k % 256 == 0 else k
+    # accumulator stack: bm * n * 4 bytes total regardless of bn
+    bm = min(m, 256, max(8, (5_400_000 // (4 * n)) // 8 * 8))
+    # mirror the GEMM's measured-best shape: wide N, shallow K
+    if n * bm * 4 <= 5_400_000:
+        bn = n
+    elif n % 128 == 0:
+        bn = largest_divisor_multiple(n, 128, max(128, 5_400_000 // (4 * bm)))
+    else:
+        bn = n
+    bk = 256 if k % 256 == 0 else k
     # decoded weight tile + quantize intermediates
-    while bk > 256 and bk % 2 == 0 and bk * (6 * bm + 4 * bn) > 6_000_000:
-        bk //= 2
+    while bn > 128 and bn % 2 == 0 and bk * (6 * bm + 4 * bn) > 6_000_000:
+        bn //= 2
     return bm, bn, bk
 
 
