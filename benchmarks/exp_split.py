@@ -41,10 +41,26 @@ def main():
         return P.fused_quantize_mx(chain_dep(p["a"], d), h, rot_size=32,
                                    method="quest", layout="kmajor")[0]
 
+    def e2e_codes(d, p):
+        x = chain_dep(p["a"], d)
+        xq, xs = P.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                     layout="kmajor_codes")
+        return P.matmul_mxf4_bf16_kmajor_codes(xq, p["wqt"], xs, p["wst"],
+                                               one)
+
+    def e2e_packed(d, p):
+        x = chain_dep(p["a"], d)
+        xq, xs = P.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                     layout="kmajor")
+        return P.matmul_mxf4_bf16_kmajor(xq, p["wqt"], xs, p["wst"], one)
+
     tg = benchmark(gemm, params=params)
     tq = benchmark(quant, params=params)
+    tc = benchmark(e2e_codes, params=params)
+    tp = benchmark(e2e_packed, params=params)
     print(f"M={M} gemm {tg*1e6:8.1f}us ({tflops(M,N,K,tg):6.1f}TF) "
-          f"quant {tq*1e6:8.1f}us", flush=True)
+          f"quant {tq*1e6:8.1f}us e2e-codes {tc*1e6:8.1f}us "
+          f"e2e-packed {tp*1e6:8.1f}us", flush=True)
 
 
 if __name__ == "__main__":

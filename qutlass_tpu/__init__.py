@@ -37,6 +37,7 @@ __all__ = [
     "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor", "fused_linear_mxf4",
     "matmul_ada_mxf4_bf16_tn", "matmul_nvf4_bf16_tn",
     "matmul_nvf4_bf16_kmajor", "fused_linear_nvf4",
+    "matmul_mxf4_bf16_kmajor_codes",
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
@@ -180,6 +181,22 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     k = at.shape[0] * 2
     kn = _route(k % 128 == 0)
     impl = kn.matmul_mxf4_bf16_kmajor if kn else _emu.matmul_mxf4_bf16_kmajor
+    return impl(_as_bytes(at), _as_bytes(bt), _as_bytes(a_sft),
+                _as_bytes(b_sft), alpha)
+
+
+def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
+    """K-major MXFP4 GEMM with UNPACKED activation codes.
+
+    at: u8 e2m1 codes [K, M] from ``fusedQuantizeMx(...,
+    layout="kmajor_codes")`` (the quantizer skips nibble packing — the
+    activation-side fast path; weights stay packed).  Bit-identical to
+    :func:`matmul_mxf4_bf16_kmajor`.
+    """
+    k = at.shape[0]
+    kn = _route(k % 128 == 0)
+    impl = (kn.matmul_mxf4_bf16_kmajor_codes if kn
+            else _emu.matmul_mxf4_bf16_kmajor_codes)
     return impl(_as_bytes(at), _as_bytes(bt), _as_bytes(a_sft),
                 _as_bytes(b_sft), alpha)
 

@@ -88,6 +88,28 @@ def _dequant_fp4_mx(pk, sf):
     return _swar_decode_bf16(pk.astype(jnp.int32), sbx7)
 
 
+def _dequant_fp4_mx_codes(ck, sf):
+    """Unpacked codes u8 [bk, m] + e8m0 [bk/32, m] -> bf16 [bk, m].
+
+    The activation-side fast layout: the quantizer skips nibble
+    packing; a sublane-pair bitcast puts rows 2k/2k+1 in one u16 (low
+    byte = row 2k) and the same SWAR tail decodes both — identical op
+    count to the packed path, with the pack stage deleted upstream.
+    """
+    u16 = pltpu.bitcast(ck[...], jnp.uint16)     # [bk/2, m] row pairs
+    v = u16.astype(jnp.int32)
+    sb = sf[...].astype(jnp.int32)
+    sbx7 = _expand_scales((sb - 1) * 0x00800080, 16)
+    c = (v | (v << 8)) & 0x000F000F              # codes in halves 0/16
+    e2 = (c >> 1) & 0x30003
+    t = (e2 | (e2 >> 1)) & 0x10001
+    bits = ((c & (t | 0x60006)) << 6) + sbx7
+    nz = (t | c) & 0x10001
+    nzm = (nz << 16) - nz
+    bits = (bits & nzm) | ((c & 0x80008) << 12)
+    return pltpu.bitcast(pltpu.bitcast(bits, jnp.uint16), jnp.bfloat16)
+
+
 def _dequant_fp4_nv(pk, sf):
     """Packed fp4 + e4m3 scales [bk/16, m] -> bf16 [bk, m].
 
@@ -109,19 +131,20 @@ _KDIM = (((0,), (0,)), ((), ()))  # contract sublane (K) dim of both operands
 
 
 def _gemm_fp4_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc,
-                     *, fmt, split=1):
+                     *, fmt, split=1, a_codes=False):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc[...] = jnp.zeros_like(acc)
 
     dq = _dequant_fp4_mx if fmt == "mx" else _dequant_fp4_nv
+    dqa = _dequant_fp4_mx_codes if a_codes else dq
     # static sub-K split: the decode of chunk s+1 is independent of the
     # MXU dot of chunk s, letting Mosaic overlap VPU and MXU work
     kp = a_ref.shape[0]
     gp = asf_ref.shape[0]
     for s in range(split):
         ks, gs_ = kp // split, gp // split
-        av = dq(a_ref[s * ks:(s + 1) * ks], asf_ref[s * gs_:(s + 1) * gs_])
+        av = dqa(a_ref[s * ks:(s + 1) * ks], asf_ref[s * gs_:(s + 1) * gs_])
         bv = dq(b_ref[s * ks:(s + 1) * ks], bsf_ref[s * gs_:(s + 1) * gs_])
         acc[...] += jax.lax.dot_general(av, bv, _KDIM,
                                         preferred_element_type=jnp.float32)
@@ -152,8 +175,10 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
     """Launch a K-major block-scaled GEMM.  ``gs_pack`` = scale rows per bk."""
     bm, bn, _ = gemm_tiles(m, n, k, packed=True)
     grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
-    kp = at.shape[0]          # bk/2 for fp4, bk for fp8
-    bkp = kp * bk // k
+    # per-operand packing: bk/2 rows for packed fp4, bk for fp8 or
+    # unpacked codes (the layouts may differ between A and B)
+    bkp_a = at.shape[0] * bk // k
+    bkp_b = bt.shape[0] * bk // k
 
     scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
 
@@ -163,8 +188,8 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bkp, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkp, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkp_a, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkp_b, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((gs_pack, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((gs_pack, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
         ],
@@ -199,6 +224,23 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     _, _, bk = gemm_tiles(m, n, k, packed=True)
     return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
                      at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32)
+
+
+@jax.jit
+def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
+    """K-major GEMM with UNPACKED activation codes (internal fast path).
+
+    at: u8 e2m1 codes [K, M] (from fused_quantize_mx layout=
+    "kmajor_codes" — the quantizer skips nibble packing); bt: packed
+    u8 [K/2, N]; scales as in matmul_mxf4_bf16_kmajor.  Bit-identical
+    to the packed path.
+    """
+    k = at.shape[0]
+    m, n = at.shape[1], bt.shape[1]
+    _, _, bk = gemm_tiles(m, n, k, packed=True)
+    return _run_gemm(
+        functools.partial(_gemm_fp4_kernel, fmt="mx", a_codes=True),
+        at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32)
 
 
 @jax.jit

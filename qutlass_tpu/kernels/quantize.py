@@ -98,8 +98,13 @@ def _quantize_mx_kernel(x_ref, h_ref, q_ref, s_ref, *rest,
         q = q * 3.0
 
     codes = C.e2m1_rtne_codes(q)
-    packed = _pack_sublane_pairs(codes)         # [bk/2, bm] K-major
-    q_ref[...] = packed if kmajor else packed.T
+    if kmajor == "codes":
+        # activation fast layout: skip nibble packing entirely — the
+        # GEMM's SWAR decode pairs rows with one sublane bitcast
+        q_ref[...] = codes.astype(jnp.uint8)    # [bk, bm] K-major
+    else:
+        packed = _pack_sublane_pairs(codes)     # [bk/2, bm] K-major
+        q_ref[...] = packed if kmajor else packed.T
     # scales/mask are always emitted K-major ([K/32, rows]): their lane
     # dims in row-major blocks (bk/32, bk/8) would violate Mosaic's
     # 128-lane divisibility; K-major is also the GEMM-native layout.
@@ -167,9 +172,15 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
     bm, bk = quantize_tiles(rows, k)
     grid = (ceil_div(rows, bm), k // bk)
     pr, pc = round_up(rows, 128), round_up(k // 32, 4)
-    kmajor = layout == "kmajor"
+    kmajor = layout == "kmajor" or layout == "kmajor_codes"
+    if layout == "kmajor_codes":
+        kmajor = "codes"
 
-    if kmajor:
+    if kmajor == "codes":
+        q_shape = jax.ShapeDtypeStruct((k, rows), jnp.uint8)
+        q_spec = pl.BlockSpec((bk, bm), lambda i, j: (j, i),
+                              memory_space=pltpu.VMEM)
+    elif kmajor:
         q_shape = jax.ShapeDtypeStruct((k // 2, rows), jnp.uint8)
         q_spec = pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i),
                               memory_space=pltpu.VMEM)

@@ -191,9 +191,9 @@ def _linear(x, w, h, method, quantized: bool):
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
         y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha)
         return y.reshape(*x.shape[:-1], n)
-    # v5e: composed kmajor quantize + GEMM wins at every M once the
-    # decode-regime tile table (full-N single-column tiles at M<=64)
-    # landed; the fused single kernel remains available as API surface
+    # v5e: composed kmajor quantize + GEMM wins at every M (the
+    # unpacked-codes layout measured neutral: the 2x activation bytes
+    # cost what the skipped nibble pack saves)
     xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
     y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
                                   jnp.ones((1,), jnp.float32))

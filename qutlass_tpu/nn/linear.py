@@ -160,8 +160,7 @@ class QuantizedLinear:
     def __call__(self, x: jax.Array) -> jax.Array:
         shape = x.shape
         x2 = x.reshape(-1, self.k)
-        # composed kmajor quantize + GEMM wins at every M on v5e (the
-        # decode-regime tile table streams full-N weight columns)
+        # composed kmajor quantize + GEMM wins at every M on v5e
         xqt, xst = q.fusedQuantizeMx(x2, self.h, method=self.method,
                                      layout="kmajor")
         y = q.matmul_mxf4_bf16_kmajor(xqt, self.wqt, xst, self.wst,

@@ -101,6 +101,8 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
     codes = C.e2m1_rtne_codes(q)
     packed = _pack_codes(codes)
     sbytes = byte.reshape(rows, k // 32).astype(jnp.uint8)
+    if layout == "kmajor_codes":
+        return codes.reshape(rows, k).T.astype(jnp.uint8), sbytes.T
     if layout == "kmajor":
         pk = packed.reshape(rows, k // 2).T
         if return_mask:
@@ -184,6 +186,13 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
 def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     """K-major variant (operands from layout='kmajor' quantization)."""
     return matmul_mxf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha)
+
+
+@jax.jit
+def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
+    """Unpacked-activation-codes variant (layout='kmajor_codes')."""
+    a = _pack_codes(at.T.astype(jnp.int32))
+    return matmul_mxf4_bf16_tn(a, bt.T, a_sft.T, b_sft.T, alpha)
 
 
 @partial(jax.jit, static_argnames=("rot_size", "method"))

@@ -9,7 +9,8 @@ import jax
 
 from ..kernels import backward as _bwd
 from ..kernels.fused_linear import fused_linear_mxf4, fused_linear_nvf4
-from ..kernels.gemm import (matmul_mxf4_bf16_kmajor, matmul_mxf4_bf16_tn,
+from ..kernels.gemm import (matmul_mxf4_bf16_kmajor,
+                            matmul_mxf4_bf16_kmajor_codes, matmul_mxf4_bf16_tn,
                             matmul_mxf8_bf16_nn, matmul_mxf8_bf16_tn,
                             matmul_nvf4_bf16_kmajor, matmul_nvf4_bf16_tn)
 from ..kernels.quantize import fused_quantize_mx, fused_quantize_nv
@@ -56,7 +57,8 @@ def mxfp4_transpose_mxfp8(x_fp4, scales):
 
 __all__ = [
     "fused_quantize_mx", "fused_quantize_nv",
-    "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor", "matmul_nvf4_bf16_tn",
+    "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor",
+    "matmul_mxf4_bf16_kmajor_codes", "matmul_nvf4_bf16_tn",
     "matmul_nvf4_bf16_kmajor", "fused_linear_mxf4", "fused_linear_nvf4",
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",

@@ -95,6 +95,25 @@ def test_gemm_mxf4(data):
                                   np.asarray(out_e, np.float32))
 
 
+def test_gemm_mxf4_codes_layout(data):
+    x, h, one = data
+    cq, cs = KQ.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                  layout="kmajor_codes")
+    eq, es = E.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                 layout="kmajor_codes")
+    np.testing.assert_array_equal(np.asarray(cq), np.asarray(eq))
+    np.testing.assert_array_equal(np.asarray(cs), np.asarray(es))
+    wq, ws = KQ.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                  layout="kmajor")
+    out_c = KG.matmul_mxf4_bf16_kmajor_codes(cq, wq, cs, ws, one)
+    out_p = KG.matmul_mxf4_bf16_kmajor(wq, wq, ws, ws, one)  # same x==w data
+    np.testing.assert_array_equal(np.asarray(out_c, np.float32),
+                                  np.asarray(out_p, np.float32))
+    out_e = E.matmul_mxf4_bf16_kmajor_codes(eq, wq, es, ws, one)
+    np.testing.assert_array_equal(np.asarray(out_c, np.float32),
+                                  np.asarray(out_e, np.float32))
+
+
 def test_fused_linear(data):
     x, h, one = data
     wqt, wst = E.fused_quantize_mx(x, h, rot_size=32, method="quest",
