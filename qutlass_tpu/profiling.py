@@ -122,6 +122,8 @@ def trace(logdir: str):
 def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
     import jax
     try:
+        if jax.default_backend() != "tpu":
+            return   # CPU AOT cache entries are host-CPU-specific
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
