@@ -47,7 +47,7 @@ def _bitcast(x, dtype):
 # e2m1 (fp4)
 # ---------------------------------------------------------------------------
 
-def e2m1_rtne_codes(q: jax.Array) -> jax.Array:
+def e2m1_rtne_codes_float(q: jax.Array) -> jax.Array:
     """Round fp32 ``q`` to the nearest e2m1 value; return int32 codes 0..15.
 
     Tie-break is to the even *code*, which coincides with IEEE
@@ -59,6 +59,10 @@ def e2m1_rtne_codes(q: jax.Array) -> jax.Array:
       |q| in [0, 2]: step 0.5 → codes 0..4
       |q| in (2, 4]: step 1.0 → codes 4..6
       |q| in (4, 6]: step 2.0 → codes 6..7
+
+    Reference implementation — kept as the readable spec and as a second
+    oracle; ``e2m1_rtne_codes`` (the bit-domain twin, proven equal over
+    every fp32 in [-8, 8] plus specials) is the production encoder.
     """
     sign = jnp.signbit(q).astype(jnp.int32)
     a = jnp.abs(q)
@@ -68,6 +72,33 @@ def e2m1_rtne_codes(q: jax.Array) -> jax.Array:
     c3 = 4.0 + lax.round(a * 0.5, _RTNE)
     code = jnp.where(a <= 2.0, c1, jnp.where(a <= 4.0, c2, c3)).astype(jnp.int32)
     return code | (sign << 3)
+
+
+def e2m1_rtne_codes_bits(q: jax.Array) -> jax.Array:
+    """Integer-domain twin of :func:`e2m1_rtne_codes` (same contract).
+
+    Works on the fp32 bit pattern: saturation and the [0.25, 1) band are
+    integer compares (positive floats order as their bit patterns); the
+    [1, 6] band uses the classic round-to-1-mantissa-bit trick
+    ``r = a + 0x1FFFFF + lsb`` whose carry walks the exponent, after
+    which ``r >> 22 == 2*E + m`` maps affinely to the code.  Avoids the
+    three ``lax.round`` + fp->int converts of the float version.
+    """
+    b = _bitcast(q.astype(jnp.float32), jnp.int32)
+    sign = (b >> 28) & 8
+    a = b & 0x7FFFFFFF
+    a = jnp.where(a > 0x7F800000, 0, jnp.minimum(a, 0x40C00000))  # NaN->+0, sat 6
+    # below 1.0: grid {0, 0.5, 1}; ties 0.25 -> 0, 0.75 -> 1.0
+    cl = (a > 0x3E800000).astype(jnp.int32) + (a >= 0x3F400000)
+    # 1.0 and above: RTNE to one mantissa bit, code = (2E + m) - 252
+    r = a + 0x1FFFFF + ((a >> 22) & 1)
+    code = jnp.where(a < 0x3F800000, cl, (r >> 22) - 252)
+    return code | sign
+
+
+# Production encoder: the integer-domain version (fewer VPU ops on TPU —
+# no fp rounds, no fp->int converts).
+e2m1_rtne_codes = e2m1_rtne_codes_bits
 
 
 def e2m1_decode_f32(codes: jax.Array) -> jax.Array:

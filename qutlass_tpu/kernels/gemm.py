@@ -51,11 +51,11 @@ def _unpack_interleaved(pk_ref):
     return pltpu.bitcast(u16, jnp.uint8).astype(jnp.int32)
 
 
-def _swar_decode_bf16(v, sbx7):
+def _swar_decode_bf16(v, sbm, shift=12):
     """SWAR fp4 decode: both nibbles of each byte in one i32 lane.
 
-    ``v``: packed bytes widened to i32 [bk/2, m].  ``sbx7``: per-lane
-    i32 holding (e8m0_byte - 1) << 7 in BOTH 16-bit halves (the two
+    ``v``: packed bytes widened to i32 [bk/2, m].  ``sbm``: per-lane
+    i32 holding (e8m0_byte - 1) << 7 in the LOW half only (the two
     nibbles of a byte are consecutive K elements, hence always the same
     scale group).  Builds the two scaled bf16 bit patterns in the two
     halves of the word — every VPU op processes two elements — then one
@@ -63,20 +63,22 @@ def _swar_decode_bf16(v, sbx7):
     (little-endian: row 2k = low half = low nibble).
 
     Per 16-bit half with code c = [s e1 e0 m]:
-      bf16 bits = ((e | m-if-e!=0) << 6) + ((scale_byte - 1) << 7)
+      bf16 bits = ((e | m-if-e!=0) << 6) + nonzero * ((scale_byte-1) << 7)
     i.e. exp_field = e + scale_byte - 1, mant bit6 = m — which covers
     the whole nonzero grid incl. code 1 (0.5, via e = 0); codes 0/8
-    flush to +/-0 by a mask from bits already in hand.  Exact for
-    scale bytes in [1, 254] with in-range products — the only values
-    the quantizers emit (docs/NUMERICS.md).
+    flush to +/-0 because the scale term is multiplied by the nonzero
+    flag ``u`` (one 32-bit multiply replaces the mask dance: with the
+    scale in the low half only, sbm*(u0 + u1<<16) = sbm*u0 + (sbm*u1)<<16
+    exactly — sbm*u0 < 2^16, no cross-half carry).  ``c`` skips the
+    nibble isolation mask: every later use masks the stray bits itself.
+    Exact for scale bytes in [1, 254] with in-range products — the only
+    values the quantizers emit (docs/NUMERICS.md).
     """
-    c = (v | (v << 12)) & 0x000F000F         # codes in halves 0 and 16
-    e2 = (c >> 1) & 0x30003                  # exponent bits per half
-    t = (e2 | (e2 >> 1)) & 0x10001           # 1 iff e != 0
-    bits = ((c & (t | 0x60006)) << 6) + sbx7
-    nz = (t | c) & 0x10001                   # 0 iff code in {0, 8}
-    nzm = (nz << 16) - nz                    # 0xFFFF per nonzero half
-    bits = (bits & nzm) | ((c & 0x80008) << 12)
+    c = v | (v << shift)                     # codes in halves 0 and 16
+    t = ((c >> 1) | (c >> 2)) & 0x10001      # 1 iff e != 0
+    u = (t | c) & 0x10001                    # 1 iff code not in {0, 8}
+    bits = ((c & (t | 0x60006)) << 6) + sbm * u
+    bits = bits | ((c & 0x80008) << 12)
     return pltpu.bitcast(pltpu.bitcast(bits, jnp.uint16), jnp.bfloat16)
 
 
@@ -84,8 +86,8 @@ def _dequant_fp4_mx(pk, sf):
     """Packed [bk/2, m] u8 + e8m0 [bk/32, m] -> bf16 [bk, m] (exact)."""
     pk, sf = pk[...], sf[...]
     sb = sf.astype(jnp.int32)
-    sbx7 = _expand_scales((sb - 1) * 0x00800080, 16)
-    return _swar_decode_bf16(pk.astype(jnp.int32), sbx7)
+    sbm = _expand_scales((sb - 1) * 0x80, 16)
+    return _swar_decode_bf16(pk.astype(jnp.int32), sbm)
 
 
 def _dequant_fp4_mx_codes(ck, sf):
@@ -99,15 +101,8 @@ def _dequant_fp4_mx_codes(ck, sf):
     u16 = pltpu.bitcast(ck[...], jnp.uint16)     # [bk/2, m] row pairs
     v = u16.astype(jnp.int32)
     sb = sf[...].astype(jnp.int32)
-    sbx7 = _expand_scales((sb - 1) * 0x00800080, 16)
-    c = (v | (v << 8)) & 0x000F000F              # codes in halves 0/16
-    e2 = (c >> 1) & 0x30003
-    t = (e2 | (e2 >> 1)) & 0x10001
-    bits = ((c & (t | 0x60006)) << 6) + sbx7
-    nz = (t | c) & 0x10001
-    nzm = (nz << 16) - nz
-    bits = (bits & nzm) | ((c & 0x80008) << 12)
-    return pltpu.bitcast(pltpu.bitcast(bits, jnp.uint16), jnp.bfloat16)
+    sbm = _expand_scales((sb - 1) * 0x80, 16)
+    return _swar_decode_bf16(v, sbm, shift=8)
 
 
 def _dequant_fp4_nv(pk, sf):
@@ -118,8 +113,7 @@ def _dequant_fp4_nv(pk, sf):
     significand, so one bf16 multiply keeps the result exact.
     """
     pk, sf = pk[...], sf[...]
-    vals = _swar_decode_bf16(pk.astype(jnp.int32),
-                             jnp.int32(126 * 0x00800080))
+    vals = _swar_decode_bf16(pk.astype(jnp.int32), jnp.int32(126 * 0x80))
     # expand the f32 scales (32-bit sublane broadcast — the bf16 form
     # hits an unsupported Mosaic shape cast at some geometries); the
     # f32 product of exact values downcasts to bf16 exactly

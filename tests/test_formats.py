@@ -23,6 +23,22 @@ def test_e2m1_rtne_matches_golden_dense():
     np.testing.assert_array_equal(vals, ref_vals)
 
 
+def test_e2m1_encoders_agree():
+    # The integer-domain production encoder vs the float-domain spec
+    # (proven equal exhaustively over [-8, 8]; this guards regressions).
+    rng = np.random.default_rng(1)
+    xs = np.concatenate([
+        rng.standard_normal(1 << 16).astype(np.float32) * 3,
+        np.linspace(-8, 8, 100002, dtype=np.float32),
+        np.array([0.25, 0.75, 1.25, 1.75, 2.5, 3.5, 5.0, 6.0, -0.25,
+                  -0.75, -5.0, 0.0, -0.0, np.inf, -np.inf, np.nan,
+                  1e30, -1e30], np.float32),
+    ])
+    a = np.asarray(C.e2m1_rtne_codes_float(jnp.asarray(xs)))
+    b = np.asarray(C.e2m1_rtne_codes_bits(jnp.asarray(xs)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_e2m1_decode_all_codes():
     codes = jnp.arange(16, dtype=jnp.int32)
     vals = np.asarray(C.e2m1_decode_f32(codes))
