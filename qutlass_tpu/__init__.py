@@ -41,6 +41,7 @@ __all__ = [
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
+    "backward_square_double_scaled", "mxfp4_transpose_scaled",
     "fused_quantize_mx", "fused_quantize_nv",
     "to_blocked", "to_blocked_swizzled", "pad_to_block",
     "get_padded_shape_mx", "get_padded_shape_nv",
@@ -327,6 +328,44 @@ def backward_bf16_square_double_mxfp8(x_bf16):
     impl = (kn.backward_bf16_square_double_mxfp8 if kn
             else _emu.backward_bf16_square_double_mxfp8)
     return impl(x)
+
+
+def backward_square_double_scaled(x_bf16):
+    """Square-double quantization emitting dequant-scaled bf16 [Mp, N].
+
+    TPU-native extension (no reference analogue): identical
+    quantization points to :func:`backward_bf16_square_double_mxfp8`,
+    returned as ``e4m3_value * 2^(scale-127)`` in bf16 (exact — a 4-bit
+    significand times a power of two).  The QAT backward consumes this
+    with plain bf16 MXU matmuls instead of decode-bound MXFP8 GEMMs.
+    """
+    x = pad_to_block(x_bf16, [0], 128)
+    kn = _route(x.shape[0] % 128 == 0 and x.shape[1] % 128 == 0)
+    impl = (kn.backward_square_double_scaled if kn
+            else _emu.backward_square_double_scaled)
+    return impl(x)
+
+
+def mxfp4_transpose_scaled(x_fp4, scales):
+    """Dequant-transpose-requant emitting dequant-scaled bf16 [N, Mp].
+
+    TPU-native twin of :func:`mxfp4_transpose_mxfp8` (same pad-to-256
+    semantics; pad rows quantize to zeros).
+    """
+    x_fp4 = _as_bytes(x_fp4)
+    m = x_fp4.shape[0]
+    n = x_fp4.shape[1] * 2
+    scales = _norm_scales(scales, min(m, scales.shape[0] if scales.ndim == 2 else m),
+                          n // 32)
+    mp = round_up(m, 256)
+    if mp != m:
+        x_fp4 = pad_to_block(x_fp4, [0], 256)
+    if scales.shape[0] < mp:
+        pad = jnp.full((mp - scales.shape[0], n // 32), 127, jnp.uint8)
+        scales = jnp.concatenate([scales, pad], axis=0)
+    kn = _route(mp % 256 == 0 and n % 128 == 0)
+    impl = kn.mxfp4_transpose_scaled if kn else _emu.mxfp4_transpose_scaled
+    return impl(x_fp4, scales)
 
 
 def mxfp4_transpose_mxfp8(x_fp4, scales):

@@ -183,30 +183,43 @@ def e8m0_decode_f32(byte: jax.Array) -> jax.Array:
 # e4m3 (fp8 block scales / data)
 # ---------------------------------------------------------------------------
 
-def e4m3_rtne_bytes(x: jax.Array) -> jax.Array:
-    """fp32 -> e4m3fn byte (int32), RTNE with saturation to ±448.
-
-    NaN maps to 0x7F (e4m3fn NaN), matching ``__nv_fp8_e4m3``.
-    Normal range rounds by fp32 bit manipulation (RTNE to 3 mantissa
-    bits); the subnormal range (|x| < 2^-6) rounds on the fixed
-    2^-9-step grid.
-    """
-    sign = jnp.signbit(x).astype(jnp.int32)
-    isnan = jnp.isnan(x)
-    a = jnp.where(isnan, 0.0, jnp.minimum(jnp.abs(x), E4M3_MAX))
-
-    # Normal path: RTNE to 3 mantissa bits via integer rounding of the
-    # fp32 bit pattern (guard/sticky handled by the +((1<<19)-1) add).
+def _e4m3_round_mag(a: jax.Array) -> jax.Array:
+    """|x| (fp32, NaN already cleared, clamped to 448) -> exact e4m3-rounded
+    magnitude.  Normal range rounds by fp32 bit manipulation (RTNE to 3
+    mantissa bits); the subnormal range (|x| < 2^-6) rounds on the fixed
+    2^-9-step grid."""
     bits = _bitcast(a, jnp.int32)
     lsb = (bits >> 20) & 1
     rbits = (bits + lsb + jnp.int32(0x7FFFF)) & jnp.int32(~0xFFFFF)
     rn = _bitcast(rbits, jnp.float32)
     rn = jnp.minimum(rn, E4M3_MAX)  # 448 + eps rounds up to 512; clamp back
-
-    # Subnormal path (|x| < 2^-6): fixed step 2^-9.
     sub = lax.round(a * 512.0, _RTNE) * (1.0 / 512.0)
+    return jnp.where(a < 2.0 ** -6, sub, rn)
 
-    v = jnp.where(a < 2.0 ** -6, sub, rn)
+
+def e4m3_rtne_value_f32(x: jax.Array) -> jax.Array:
+    """fp32 -> the exact e4m3fn-rounded value (satfinite), as fp32.
+
+    Same rounding core as :func:`e4m3_rtne_bytes`; NaN passes through as
+    NaN (the byte form's 0x7F).  Used by the scaled-bf16 QAT fast path,
+    which stores ``e4m3_value * pow2_scale`` (exactly representable in
+    bf16) instead of the (byte, scale) pair.
+    """
+    sign = jnp.signbit(x)
+    a = jnp.where(jnp.isnan(x), jnp.float32(jnp.nan),
+                  _e4m3_round_mag(jnp.minimum(jnp.abs(x), E4M3_MAX)))
+    return jnp.where(sign, -a, a)
+
+
+def e4m3_rtne_bytes(x: jax.Array) -> jax.Array:
+    """fp32 -> e4m3fn byte (int32), RTNE with saturation to ±448.
+
+    NaN maps to 0x7F (e4m3fn NaN), matching ``__nv_fp8_e4m3``.
+    """
+    sign = jnp.signbit(x).astype(jnp.int32)
+    isnan = jnp.isnan(x)
+    a = jnp.where(isnan, 0.0, jnp.minimum(jnp.abs(x), E4M3_MAX))
+    v = _e4m3_round_mag(a)
 
     # Assemble the byte from the exact value ``v``.
     vbits = _bitcast(v, jnp.int32)

@@ -240,6 +240,64 @@ def backward_bf16_square_double_mxfp8_2d(x: jax.Array):
     return fp8, row_scales, col_scales
 
 
+def _square_double_scaled_kernel(x_ref, out_ref):
+    """Square-double quantization emitting dequant-scaled bf16 directly.
+
+    Identical quantization points to :func:`_square_double_kernel`
+    (same 32x32 shared exponent, same bf16 pre-round, same e4m3 RTNE) —
+    but the output is ``e4m3_value * 2^(ebyte-127)`` as bf16, exact
+    because a <=4-bit significand times a power of two fits bf16.  The
+    QAT backward then feeds plain MXU bf16 matmuls instead of the
+    decode-bound mxf8 Pallas GEMMs (82 -> 193 TF/s on v5e).
+    """
+    bm, bn = x_ref.shape
+    x = x_ref[...].astype(jnp.float32)
+    s1 = jnp.max(jnp.abs(x).reshape(bm // 32, 32, bn), axis=1)
+    s1t = s1.T
+    amax_t = jnp.max(s1t.reshape(bn // 32, 32, bm // 32), axis=1)
+    ebyte_t = C.mxfp8_shared_exp_bytes(amax_t)            # [ng, mg]
+
+    sc_t = C.e8m0_decode_f32(ebyte_t)                     # exact pow2
+    mg, ng = bm // 32, bn // 32
+    rows = lax.broadcasted_iota(jnp.int32, (mg, bm), 1) // 32
+    sel_m = (rows == lax.broadcasted_iota(jnp.int32, (mg, bm), 0)
+             ).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, (ng, bn), 1) // 32
+    sel_n = (cols == lax.broadcasted_iota(jnp.int32, (ng, bn), 0)
+             ).astype(jnp.float32)
+    tmp = lax.dot_general(sel_m, sc_t.T, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    sc_full = lax.dot_general(tmp, sel_n, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    # exact pow2 reciprocal: bits(1/2^e) = (254 << 23) - bits(2^e)
+    inv_full = lax.bitcast_convert_type(
+        jnp.int32(254 << 23) - lax.bitcast_convert_type(sc_full, jnp.int32),
+        jnp.float32)
+
+    q = (x * inv_full).astype(jnp.bfloat16).astype(jnp.float32)
+    out_ref[...] = (C.e4m3_rtne_value_f32(q) * sc_full).astype(jnp.bfloat16)
+
+
+@jax.jit
+def backward_square_double_scaled_2d(x: jax.Array):
+    """x [M, N] bf16 (M % 256 == 0) -> dequant-scaled bf16 [M, N].
+
+    Bit-equal to decoding the (fp8, scales) pair from
+    :func:`backward_bf16_square_double_mxfp8_2d` into bf16.
+    """
+    m, n = x.shape
+    bm = 256
+    return pl.pallas_call(
+        _square_double_scaled_kernel,
+        grid=(m // bm, 1),
+        in_specs=[pl.BlockSpec((bm, n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+    )(x)
+
+
 # ---------------------------------------------------------------------------
 # mxfp4_transpose_mxfp8: dequant fp4, transpose, requantize g32 to fp8
 # ---------------------------------------------------------------------------
@@ -261,6 +319,60 @@ def _fp4t_fp8_kernel(xq_ref, xst_ref, fp8_ref, st_ref):
     fp8 = C.e4m3_rtne_bytes(q.reshape(bm, bn)).astype(jnp.uint8)
     fp8_ref[...] = fp8.T                       # [bn, bm] -> out [N, M]
     st_ref[...] = ebyte.astype(jnp.uint8)      # [bm/32, bn] -> [M/32, N]
+
+
+def _fp4t_scaled_kernel(xq_ref, xst_ref, out_ref):
+    """Dequant-transpose-requant emitting dequant-scaled bf16.
+
+    Same quantization points as :func:`_fp4t_fp8_kernel`; output is
+    ``e4m3_value * 2^(ebyte-127)`` (exact in bf16) so the QAT wgrad/
+    dgrad matmuls run as plain bf16 MXU dots.
+    """
+    bm = xq_ref.shape[0]
+    bn = xq_ref.shape[1] * 2
+    pk_t = xq_ref[...].T
+    codes = _unpack_interleaved_arr(pk_t)
+    sexp = _expand_scales(xst_ref[...].astype(jnp.int32), 32)
+    dq = C.e2m1_decode_scaled_bf16(codes, sexp)
+    z = dq.T.astype(jnp.float32)               # [bm, bn], M on sublanes
+
+    g = z.reshape(bm // 32, 32, bn)
+    amax = jnp.max(jnp.abs(g), axis=1)
+    ebyte = C.mxfp8_shared_exp_bytes(amax)
+    sc = C.e8m0_decode_f32(ebyte)
+    inv = lax.bitcast_convert_type(
+        jnp.int32(254 << 23) - lax.bitcast_convert_type(sc, jnp.int32),
+        jnp.float32)
+    q = (g * inv[:, None, :]).astype(jnp.bfloat16).astype(jnp.float32)
+    val = C.e4m3_rtne_value_f32(q) * sc[:, None, :]
+    out_ref[...] = val.reshape(bm, bn).astype(jnp.bfloat16).T  # [bn, bm]
+
+
+@jax.jit
+def mxfp4_transpose_scaled_2d(x_fp4: jax.Array, scales: jax.Array):
+    """x_fp4 u8 [M, N/2], scales u8 [M, N/32] (M % 256, N % 256) ->
+    dequant-scaled bf16 [N, M] (the transposed MXFP8 operand, decoded).
+    """
+    m = x_fp4.shape[0]
+    n = x_fp4.shape[1] * 2
+    bm = 256
+    bn = _pick_bk(n, 512)
+    if bn % 256 != 0:
+        bn = 256 if n % 256 == 0 else n
+    grid = (n // bn, m // bm)
+    return pl.pallas_call(
+        _fp4t_scaled_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn // 2), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // 32, bm), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, bm), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.bfloat16),
+    )(x_fp4, scales.T)
 
 
 @jax.jit

@@ -351,6 +351,31 @@ def backward_bf16_square_double_mxfp8(x: jax.Array):
 
 
 @jax.jit
+def backward_square_double_scaled(x: jax.Array):
+    """Scaled-bf16 twin of :func:`backward_bf16_square_double_mxfp8`.
+
+    Returns ``decode(fp8) * 2^(scale-127)`` as bf16 [M, N] — the same
+    quantization points, pre-decoded so the QAT backward matmuls run as
+    plain bf16 dots (TPU-native extension; no reference analogue).
+    Defined by composition so it is bit-consistent with the public op.
+    """
+    fp8, row_scales, _ = backward_bf16_square_double_mxfp8(x)
+    vals = C.e4m3_decode_f32(fp8.astype(jnp.int32))
+    sc = C.e8m0_decode_f32(jnp.repeat(row_scales.astype(jnp.int32), 32,
+                                      axis=1))
+    return (vals * sc).astype(jnp.bfloat16)
+
+
+@jax.jit
+def mxfp4_transpose_scaled(x_fp4: jax.Array, scales: jax.Array):
+    """Scaled-bf16 twin of :func:`mxfp4_transpose_mxfp8` (bf16 [N, M])."""
+    fp8, ebyte = mxfp4_transpose_mxfp8(x_fp4, scales)
+    vals = C.e4m3_decode_f32(fp8.astype(jnp.int32))
+    sc = C.e8m0_decode_f32(jnp.repeat(ebyte.astype(jnp.int32), 32, axis=1))
+    return (vals * sc).astype(jnp.bfloat16)
+
+
+@jax.jit
 def mxfp4_transpose_mxfp8(x_fp4: jax.Array, scales: jax.Array):
     """Dequant MXFP4 -> transpose -> abs-max g32 requantize to MXFP8.
 

@@ -55,6 +55,24 @@ def mxfp4_transpose_mxfp8(x_fp4, scales):
         return _emu.mxfp4_transpose_mxfp8(x_fp4, scales)
     return _bwd.mxfp4_transpose_mxfp8_2d(x_fp4, scales)
 
+
+def backward_square_double_scaled(x):
+    """Scaled-bf16 square-double quantization (QAT fast path)."""
+    m, n = x.shape
+    if m % 256 != 0 or n % 32 != 0 or n > 16384:
+        return _emu.backward_square_double_scaled(x)
+    return _bwd.backward_square_double_scaled_2d(x)
+
+
+def mxfp4_transpose_scaled(x_fp4, scales):
+    """Scaled-bf16 dequant-transpose-requant (QAT fast path)."""
+    m = x_fp4.shape[0]
+    n = x_fp4.shape[1] * 2
+    if m % 256 != 0 or n % 256 != 0:
+        return _emu.mxfp4_transpose_scaled(x_fp4, scales)
+    return _bwd.mxfp4_transpose_scaled_2d(x_fp4, scales)
+
+
 __all__ = [
     "fused_quantize_mx", "fused_quantize_nv",
     "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor",
@@ -63,4 +81,5 @@ __all__ = [
     "matmul_mxf8_bf16_tn", "matmul_mxf8_bf16_nn",
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
+    "backward_square_double_scaled", "mxfp4_transpose_scaled",
 ]

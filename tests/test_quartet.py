@@ -140,3 +140,33 @@ def test_backward_flow_nn_gemm():
     cos = (got.ravel() @ ref.ravel()) / (
         np.linalg.norm(got) * np.linalg.norm(ref) + 1e-30)
     assert cos > 0.99, cos
+
+
+def test_square_double_scaled_matches_bytes():
+    """Scaled-bf16 fast path == decode(public byte op) exactly."""
+    rng = np.random.default_rng(3)
+    m, n = 422, 256
+    x = jnp.asarray((rng.standard_normal((m, n)) * 8).astype(ml_dtypes.bfloat16))
+
+    fp8, row_s, _ = q.backward_bf16_square_double_mxfp8(x)
+    want = (np.asarray(fp8).view(ml_dtypes.float8_e4m3fn).astype(np.float64)
+            * np.repeat(G.e8m0_to_f64(np.asarray(row_s)), 32, axis=1)
+            ).astype(ml_dtypes.bfloat16)
+    got = np.asarray(q.backward_square_double_scaled(x))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mxfp4_transpose_scaled_matches_bytes():
+    """Scaled-bf16 transpose fast path == decode(public byte op) exactly."""
+    rng = np.random.default_rng(4)
+    m, n = 422, 256
+    x = jnp.asarray((rng.standard_normal((m, n)) * 25).astype(ml_dtypes.bfloat16))
+    eye = jnp.asarray(np.eye(32), jnp.bfloat16)
+    fp4, scales = q.fusedQuantizeMx(x, eye, method="abs_max")
+
+    fp8, sexps = q.mxfp4_transpose_mxfp8(fp4, scales)
+    want = (np.asarray(fp8).view(ml_dtypes.float8_e4m3fn).astype(np.float64)
+            * np.repeat(G.e8m0_to_f64(np.asarray(sexps)), 32, axis=1)
+            ).astype(ml_dtypes.bfloat16)
+    got = np.asarray(q.mxfp4_transpose_scaled(fp4, scales))
+    np.testing.assert_array_equal(got, want)
