@@ -42,6 +42,7 @@ __all__ = [
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
     "backward_square_double_scaled", "mxfp4_transpose_scaled",
+    "mxfp4_transpose_scaled_kmajor",
     "fused_quantize_mx", "fused_quantize_nv",
     "to_blocked", "to_blocked_swizzled", "pad_to_block",
     "get_padded_shape_mx", "get_padded_shape_nv",
@@ -366,6 +367,21 @@ def mxfp4_transpose_scaled(x_fp4, scales):
     kn = _route(mp % 256 == 0 and n % 128 == 0)
     impl = kn.mxfp4_transpose_scaled if kn else _emu.mxfp4_transpose_scaled
     return impl(x_fp4, scales)
+
+
+def mxfp4_transpose_scaled_kmajor(qt, st):
+    """K-major-input scaled transpose (TPU-native QAT fast path).
+
+    qt u8 [K/2, rows], st u8 [K/32, rows] — the layout emitted by
+    ``fusedQuantizeMx(..., layout="kmajor")`` — to dequant-scaled bf16
+    [K, rows]; same quantization points as :func:`mxfp4_transpose_scaled`
+    on the row-major operand.
+    """
+    qt, st = _as_bytes(qt), _as_bytes(st)
+    kn = _route(qt.shape[0] % 64 == 0)
+    impl = (kn.mxfp4_transpose_scaled_kmajor if kn
+            else _emu.mxfp4_transpose_scaled_kmajor)
+    return impl(qt, st)
 
 
 def mxfp4_transpose_mxfp8(x_fp4, scales):

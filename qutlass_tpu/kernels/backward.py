@@ -375,6 +375,60 @@ def mxfp4_transpose_scaled_2d(x_fp4: jax.Array, scales: jax.Array):
     )(x_fp4, scales.T)
 
 
+def _fp4t_scaled_kmajor_kernel(qt_ref, st_ref, out_ref):
+    """K-major-input twin of :func:`_fp4t_scaled_kernel`.
+
+    The operand arrives in the GEMM-native layout (packed [K/2, rows],
+    scales [K/32, rows]) straight from ``fused_quantize_mx(...,
+    layout='kmajor')`` — the dequant is the GEMM's SWAR decode (groups
+    already on sublanes), saving the u8 transpose and the per-element
+    decode of the row-major kernel.
+    """
+    from .gemm import _dequant_fp4_mx
+    bk = qt_ref.shape[0] * 2
+    bn = qt_ref.shape[1]
+    dq = _dequant_fp4_mx(qt_ref, st_ref)       # bf16 [bk, bn], exact
+    z = dq.T.astype(jnp.float32)               # [bn, bk], rows on sublanes
+
+    g = z.reshape(bn // 32, 32, bk)
+    amax = jnp.max(jnp.abs(g), axis=1)
+    ebyte = C.mxfp8_shared_exp_bytes(amax)
+    sc = C.e8m0_decode_f32(ebyte)
+    inv = lax.bitcast_convert_type(
+        jnp.int32(254 << 23) - lax.bitcast_convert_type(sc, jnp.int32),
+        jnp.float32)
+    q = (g * inv[:, None, :]).astype(jnp.bfloat16).astype(jnp.float32)
+    val = C.e4m3_rtne_value_f32(q) * sc[:, None, :]
+    out_ref[...] = val.reshape(bn, bk).astype(jnp.bfloat16).T  # [bk, bn]
+
+
+@jax.jit
+def mxfp4_transpose_scaled_kmajor_2d(qt: jax.Array, st: jax.Array):
+    """qt u8 [K/2, rows], st u8 [K/32, rows] (K % 256, rows % 256) ->
+    dequant-scaled bf16 [K, rows].  Same quantization points as
+    ``mxfp4_transpose_scaled`` on the row-major form of the operand.
+    """
+    k = qt.shape[0] * 2
+    rows = qt.shape[1]
+    bk = _pick_bk(k, 512)
+    if bk % 256 != 0:
+        bk = 256 if k % 256 == 0 else k
+    bn = 256
+    return pl.pallas_call(
+        _fp4t_scaled_kmajor_kernel,
+        grid=(k // bk, rows // bn),
+        in_specs=[
+            pl.BlockSpec((bk // 2, bn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 32, bn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bk, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, rows), jnp.bfloat16),
+    )(qt, st)
+
+
 @jax.jit
 def mxfp4_transpose_mxfp8_2d(x_fp4: jax.Array, scales: jax.Array):
     """x_fp4 u8 [M, N/2], scales u8 [M, N/32] (M % 256 == 0, N % 256 == 0)

@@ -71,17 +71,19 @@ def quartet_linear(x: jax.Array, w: jax.Array, h: jax.Array,
 
 
 def _quartet_fwd_impl(x, w, h, method):
-    m, k = x.shape
-    n = w.shape[0]
+    """Forward on the kmajor composed path (zero layout transforms);
+    residuals stay in the kmajor layout the backward kernels consume."""
     if method == "quest":
-        xq, xs, mask = q.fusedQuantizeMx(x, h, method=method, return_mask=True)
+        xqt, xst, mask_t = q.fusedQuantizeMx(x, h, method=method,
+                                             return_mask=True,
+                                             layout="kmajor")
     else:
-        xq, xs = q.fusedQuantizeMx(x, h, method=method)
-        mask = None
-    wq, ws = q.fusedQuantizeMx(w, h, method=method)
+        xqt, xst = q.fusedQuantizeMx(x, h, method=method, layout="kmajor")
+        mask_t = None
+    wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
     alpha = jnp.full((1,), 1.0 if method == "quest" else 1.0 / 9.0, jnp.float32)
-    y = q.matmul_mxf4_bf16_tn(xq, wq, xs, ws, alpha)
-    return y, (xq, xs[:m, :k // 32], mask, wq, ws[:n, :k // 32])
+    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, alpha)
+    return y, (xqt, xst, mask_t, wqt, wst)
 
 
 def _quartet_fwd(x, w, h, method):
@@ -100,39 +102,24 @@ def _quartet_bwd(method, carry, gy):
     quantization points as the reference op graph; zero padding needs
     no scale patching because pad elements decode to 0.
     """
-    (xq, xs, mask, wq, ws), h, xshape, wshape = carry
+    (xqt, xst, mask_t, wqt, wst), h, xshape, wshape = carry
     m, k = xshape
-    n = wshape[0]
     gy = gy.astype(jnp.bfloat16)
 
     gq_s = q.backward_square_double_scaled(gy)           # [Mp, N] bf16
-    mpad = gq_s.shape[0]
 
     # dgrad: dXh = dY @ dq(wq)  -> mask STE -> unrotate
-    w8_s = q.mxfp4_transpose_scaled(wq, ws)              # [K, Np] bf16
-    npad = w8_s.shape[1]
-    if npad != n:  # gq columns must match the padded contraction dim
-        gq_d = jnp.zeros((mpad, npad), jnp.bfloat16).at[:, :n].set(gq_s)
-    else:
-        gq_d = gq_s
-    dxh = jax.lax.dot_general(gq_d, w8_s, (((1,), (1,)), ((), ())),
+    w8_s = q.mxfp4_transpose_scaled_kmajor(wqt, wst)     # [K, N] bf16
+    dxh = jax.lax.dot_general(gq_s, w8_s, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32
                               ).astype(jnp.bfloat16)[:m]
     if method == "quest":
-        dxh = dxh.astype(jnp.float32) * _unpack_mask_bits(mask, k)
+        dxh = dxh.astype(jnp.float32) * _unpack_mask_bits(mask_t.T, k)
     dx = _unrotate(dxh.astype(jnp.float32), h).astype(jnp.bfloat16)
 
     # wgrad: dWh = dY^T @ dq(xq) -> unrotate
-    x8_s = q.mxfp4_transpose_scaled(xq, xs)              # [K, Mp2] bf16
-    mp2 = x8_s.shape[1]
-    if mp2 != mpad:  # align padded M between the two quantizations
-        if mp2 > mpad:
-            gq_w = jnp.zeros((mp2, n), jnp.bfloat16).at[:mpad].set(gq_s[:, :n])
-        else:
-            gq_w = gq_s[:mp2, :n]
-    else:
-        gq_w = gq_s[:, :n]
-    dwh = jax.lax.dot_general(gq_w, x8_s, (((0,), (1,)), ((), ())),
+    x8_s = q.mxfp4_transpose_scaled_kmajor(xqt, xst)     # [K, M] bf16
+    dwh = jax.lax.dot_general(gq_s[:m], x8_s, (((0,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32
                               ).astype(jnp.bfloat16)
     dw = _unrotate(dwh.astype(jnp.float32), h).astype(jnp.bfloat16)

@@ -376,6 +376,30 @@ def mxfp4_transpose_scaled(x_fp4: jax.Array, scales: jax.Array):
 
 
 @jax.jit
+def mxfp4_transpose_scaled_kmajor(qt: jax.Array, st: jax.Array):
+    """K-major-input twin of :func:`mxfp4_transpose_scaled`.
+
+    qt u8 [K/2, rows] (row 2k in the low nibble), st u8 [K/32, rows] ->
+    dequant-scaled bf16 [K, rows].  Defined by repacking to the
+    row-major form and composing the public ops (bit-consistent by
+    construction); rows are padded to 256 internally and sliced back.
+    """
+    k2, rows = qt.shape
+    k = k2 * 2
+    q32 = qt.astype(jnp.int32)
+    codes = jnp.stack([q32 & 0xF, (q32 >> 4) & 0xF], axis=1).reshape(k, rows)
+    codes_r = codes.T                                   # [rows, K]
+    packed_r = (codes_r[:, 0::2] | (codes_r[:, 1::2] << 4)).astype(jnp.uint8)
+    scales_r = st.T                                     # [rows, K/32]
+    rp = (rows + 255) // 256 * 256
+    if rp != rows:
+        packed_r = jnp.pad(packed_r, ((0, rp - rows), (0, 0)))
+        scales_r = jnp.pad(scales_r, ((0, rp - rows), (0, 0)),
+                           constant_values=127)
+    return mxfp4_transpose_scaled(packed_r, scales_r)[:, :rows]
+
+
+@jax.jit
 def mxfp4_transpose_mxfp8(x_fp4: jax.Array, scales: jax.Array):
     """Dequant MXFP4 -> transpose -> abs-max g32 requantize to MXFP8.
 

@@ -73,6 +73,15 @@ def mxfp4_transpose_scaled(x_fp4, scales):
     return _bwd.mxfp4_transpose_scaled_2d(x_fp4, scales)
 
 
+def mxfp4_transpose_scaled_kmajor(qt, st):
+    """K-major-input scaled transpose (QAT fast path)."""
+    k = qt.shape[0] * 2
+    rows = qt.shape[1]
+    if k % 256 != 0 or rows % 256 != 0:
+        return _emu.mxfp4_transpose_scaled_kmajor(qt, st)
+    return _bwd.mxfp4_transpose_scaled_kmajor_2d(qt, st)
+
+
 __all__ = [
     "fused_quantize_mx", "fused_quantize_nv",
     "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor",
@@ -82,4 +91,5 @@ __all__ = [
     "backward_t_bf16", "backward_qt_bf16",
     "backward_bf16_square_double_mxfp8", "mxfp4_transpose_mxfp8",
     "backward_square_double_scaled", "mxfp4_transpose_scaled",
+    "mxfp4_transpose_scaled_kmajor",
 ]
