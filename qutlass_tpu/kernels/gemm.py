@@ -166,9 +166,21 @@ def _gemm_fp8_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc):
 
 
 def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
-    """Launch a K-major block-scaled GEMM.  ``gs_pack`` = scale rows per bk."""
-    bm, bn, _ = gemm_tiles(m, n, k, packed=True)
-    grid = (ceil_div(m, bm), ceil_div(n, bn), k // bk)
+    """Launch a K-major block-scaled GEMM.  ``gs_pack`` = scale rows per bk.
+
+    Degenerate lane dims (m or n < 8) are zero-padded to 8 — Mosaic
+    accepts 1-lane blocks in principle but compilation of the SWAR
+    decode on them is pathological (observed: M=1 never finishes).
+    """
+    mp, npd = max(m, 8), max(n, 8)
+    if mp != m:
+        at = jnp.pad(at, ((0, 0), (0, mp - m)))
+        asft = jnp.pad(asft, ((0, 0), (0, mp - m)))
+    if npd != n:
+        bt = jnp.pad(bt, ((0, 0), (0, npd - n)))
+        bsft = jnp.pad(bsft, ((0, 0), (0, npd - n)))
+    bm, bn, _ = gemm_tiles(mp, npd, k, packed=True)
+    grid = (ceil_div(mp, bm), ceil_div(npd, bn), k // bk)
     # per-operand packing: bk/2 rows for packed fp4, bk for fp8 or
     # unpacked codes (the layouts may differ between A and B)
     bkp_a = at.shape[0] * bk // k
@@ -177,7 +189,7 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
     scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
 
     alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -189,11 +201,12 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((mp, npd), jnp.bfloat16),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(alpha2, at, bt, asft, bsft)
+    return out if (mp, npd) == (m, n) else out[:m, :n]
 
 
 @jax.jit

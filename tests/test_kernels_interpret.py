@@ -160,3 +160,22 @@ def test_fp4_transpose_fp8(data):
     fe, se = E.mxfp4_transpose_mxfp8(xq, xs)
     np.testing.assert_array_equal(np.asarray(sp), np.asarray(se))
     np.testing.assert_array_equal(np.asarray(fp), np.asarray(fe))
+
+
+def test_gemm_kmajor_tiny_m(data):
+    """Degenerate lane dims (m < 8) pad to 8 inside _run_gemm; output is
+    bit-identical to the emulation GEMM (Mosaic hangs on 1-lane blocks,
+    so the pad is load-bearing on real TPUs)."""
+    _, h, one = data
+    rng = np.random.default_rng(7)
+    w = randn_bf16(rng, 64, 512)
+    wqt, wst = E.fused_quantize_mx(w, h, rot_size=32, method="quest",
+                                   layout="kmajor")
+    for m in (1, 3):
+        x = randn_bf16(rng, m, 512)
+        xqt, xst = E.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                       layout="kmajor")
+        got = KG.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, one)
+        want = E.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, one)
+        assert got.shape == (m, 64)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
