@@ -26,9 +26,9 @@ from .formats import codecs, golden
 from .ops import dispatch
 from .ops import emulation as _emu
 from .ops import validation as _val
-from .utils import (ceil_div, from_blocked, get_padded_shape_mx,
-                    get_padded_shape_nv, pad_to_block, round_up, to_blocked,
-                    to_blocked_swizzled)
+from .utils import (ceil_div, dct_matrix, from_blocked, get_padded_shape_mx,
+                    get_padded_shape_nv, hadamard_matrix, identity_matrix,
+                    pad_to_block, round_up, to_blocked, to_blocked_swizzled)
 
 __version__ = "0.1.0"
 
@@ -46,6 +46,7 @@ __all__ = [
     "fused_quantize_mx", "fused_quantize_nv",
     "to_blocked", "to_blocked_swizzled", "pad_to_block",
     "get_padded_shape_mx", "get_padded_shape_nv",
+    "hadamard_matrix", "dct_matrix", "identity_matrix",
 ]
 
 

@@ -77,6 +77,44 @@ def pad_to_block(x: jnp.ndarray, dims, blocksize: int) -> jnp.ndarray:
     return jnp.pad(x, pads)
 
 
+def hadamard_matrix(n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Normalized Sylvester-Hadamard rotation ``H_n / sqrt(n)``.
+
+    The reference loads rotation matrices at runtime and its tests build
+    them with ``scipy.linalg.hadamard(n) * n**-0.5`` (reference
+    tests/mxfp4_test.py:39-42); supported sizes are powers of two in
+    {16, 32, 64, 128} (README.md:59-73).  Orthonormal, so the rotation
+    is a distribution-flattening isometry.
+    """
+    assert n >= 1 and (n & (n - 1)) == 0, "Hadamard size must be a power of 2"
+    import numpy as np
+    h = np.array([[1.0]])
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return jnp.asarray(h * n ** -0.5, dtype)
+
+
+def dct_matrix(n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Orthonormal DCT-II rotation matrix (reference README.md:66 option).
+
+    Row ``i``, column ``j``: ``c_i * cos(pi * (2j + 1) * i / (2n))`` with
+    ``c_0 = sqrt(1/n)``, ``c_i = sqrt(2/n)`` — the same matrix
+    ``scipy.fft.dct(eye(n), norm="ortho")`` produces.
+    """
+    import numpy as np
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * j + 1) * i / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return jnp.asarray(m, dtype)
+
+
+def identity_matrix(n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Identity "rotation" (quantize without rotating; README.md:66)."""
+    return jnp.eye(n, dtype=dtype)
+
+
 def largest_divisor_multiple(n: int, unit: int, cap: int) -> int:
     """Largest divisor of ``n`` that is a multiple of ``unit`` and <= cap."""
     assert n % unit == 0
