@@ -45,22 +45,22 @@ def main():
 
     from qutlass_tpu.profiling import benchmark
 
-    def bench(fn):
-        return benchmark(fn, iters=2, chain=2, repeats=3)
-
     for seq in args.seqs:
         tokens = jnp.zeros((args.batch, seq), jnp.int32)
 
-        def fwd_q(d):
+        # params must travel as jit ARGUMENTS: closure-captured weights
+        # are embedded as HLO constants and the remote-compile tunnel
+        # rejects requests over ~100 MB (HTTP 413)
+        def fwd_q(d, p):
             tk = tokens + (d[0] * 0).astype(jnp.int32)
-            return forward(cfg, qparams, tk, h, quantized=True)
+            return forward(cfg, p, tk, h, quantized=True)
 
-        def fwd_b(d):
+        def fwd_b(d, p):
             tk = tokens + (d[0] * 0).astype(jnp.int32)
-            return forward(cfg, params, tk)
+            return forward(cfg, p, tk)
 
-        tq = bench(fwd_q)
-        tb = bench(fwd_b)
+        tq = benchmark(fwd_q, iters=2, chain=2, repeats=3, params=qparams)
+        tb = benchmark(fwd_b, iters=2, chain=2, repeats=3, params=params)
         rec = dict(metric="prefill_speedup_mxfp4_vs_bf16",
                    layers=args.layers, batch=args.batch, seq=seq,
                    mxfp4_ms=round(tq * 1e3, 2), bf16_ms=round(tb * 1e3, 2),

@@ -79,11 +79,13 @@ def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
     # v5e sweep (every M in {16..2048}, Qwen3-32B layer): bm = 256,
     # bn as wide as the f32 accumulator budget allows (full N when it
     # fits), bk = 256 — the shallow-K / wide-N shape pipelines weight
-    # DMA deeply and overlaps the VPU decode under the MXU (M=2048:
-    # 631 us vs 860 at 1024x1024x1024; M=64: 28 vs 36; M=256: 75 vs
-    # 107).  Block lane dims must be 128-divisible or == the array
-    # dim; bk % 256 == 0 (or == K) keeps the scale block's sublane
-    # dim legal.
+    # DMA deeply and overlaps the VPU decode under the MXU.  With
+    # realistically cycled weights: M=2048 GEMM 637 us (fake-decode
+    # floor 620, XLA bf16 569); M=256: 91 (bk 512/1024 worse); M<=64:
+    # ~50, VPU-decode-bound on the weight stream (exp_gemm_anatomy*,
+    # exp_m256, exp_smallm3).  Block lane dims must be 128-divisible
+    # or == the array dim; bk % 256 == 0 (or == K) keeps the scale
+    # block's sublane dim legal.
     acc_cap = 5_400_000
     bm = m if m <= 256 else 256
     if n * bm * 4 <= acc_cap:
