@@ -1,6 +1,7 @@
 from . import hf_loader, moe, serving
 from .moe import MoeConfig, QWEN3_MOE_30B_A3B, tiny_moe_config
-from .serving import decode_step, generate, init_cache, prefill
+from .serving import (decode_step, generate, init_cache, prefill,
+                      sample_logits)
 from .transformer import (ModelConfig, QWEN3_8B, QWEN3_14B, QWEN3_32B,
                           LLAMA31_8B, LLAMA31_70B, init_params, forward,
                           quantize_model_weights, tiny_config)
@@ -8,5 +9,5 @@ from .transformer import (ModelConfig, QWEN3_8B, QWEN3_14B, QWEN3_32B,
 __all__ = ["ModelConfig", "QWEN3_8B", "QWEN3_14B", "QWEN3_32B", "LLAMA31_8B",
            "LLAMA31_70B", "init_params", "forward", "quantize_model_weights",
            "tiny_config", "serving", "prefill", "decode_step", "generate",
-           "init_cache", "hf_loader", "moe", "MoeConfig",
+           "init_cache", "sample_logits", "hf_loader", "moe", "MoeConfig",
            "QWEN3_MOE_30B_A3B", "tiny_moe_config"]

@@ -91,6 +91,33 @@ def params_from_hf_state_dict(cfg: ModelConfig,
     return params
 
 
+def load_model(path: str, *, quantize: bool = False, h=None,
+               method: str = "quest", dtype=jnp.bfloat16):
+    """One-call checkpoint load: HF model directory -> (cfg, params).
+
+    ``path`` must contain ``config.json`` plus ``*.safetensors`` shards
+    (the standard HF snapshot layout).  With ``quantize=True`` every
+    linear weight is rotated by ``h`` (defaults to the Hadamard-32) and
+    stored MXFP4 — the one-line equivalent of the reference's
+    HF-integration layer swap (README.md:50-51).
+    """
+    import json
+    import os
+
+    from .transformer import quantize_model_weights
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    params = params_from_hf_state_dict(cfg, load_safetensors_dir(path),
+                                       dtype=dtype)
+    if quantize:
+        if h is None:
+            from ..utils import hadamard_matrix
+            h = hadamard_matrix(32)
+        params = quantize_model_weights(cfg, params, h, method=method)
+    return cfg, params
+
+
 def load_safetensors_dir(path: str) -> dict[str, np.ndarray]:
     """Load all *.safetensors shards under ``path`` into one numpy dict."""
     import glob

@@ -120,28 +120,79 @@ def decode_step(cfg: ModelConfig, params, cache, token, pos, h=None, *,
     return _logits(cfg, params, x[:, 0]), new_cache
 
 
+def sample_logits(logits, key, *, temperature: float = 1.0, top_k: int = 0,
+                  top_p: float = 1.0):
+    """Sample token ids [B] from logits [B, V].
+
+    Standard serving controls (the vLLM-analogue surface):
+      temperature  0 -> greedy argmax; else logits / temperature
+      top_k        keep the k highest logits (0 = all)
+      top_p        nucleus: keep the smallest prefix of the sorted
+                   distribution with cumulative probability >= top_p
+    All branches are trace-time decisions (static args), so each
+    combination compiles once.
+    """
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sort = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sort, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep entries whose prefix (exclusive) is still < top_p
+        keep = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep, sort, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "steps", "quantized", "method",
-                                    "max_len"))
+                                    "max_len", "temperature", "top_k",
+                                    "top_p", "eos_id", "pad_id"))
 def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
-             max_len: int, quantized: bool = False, method: str = "quest"):
-    """Greedy generation: prompt [B, T] -> tokens [B, steps].
+             max_len: int, quantized: bool = False, method: str = "quest",
+             key=None, temperature: float = 0.0, top_k: int = 0,
+             top_p: float = 1.0, eos_id: int | None = None,
+             pad_id: int = 0):
+    """Autoregressive generation: prompt [B, T] -> tokens [B, steps].
 
     One compiled dispatch: prefill + ``steps`` decode iterations under
-    ``lax.scan``.
+    ``lax.scan``.  Greedy by default; pass ``key`` plus ``temperature``
+    / ``top_k`` / ``top_p`` for sampled decoding, and ``eos_id`` to pad
+    each sequence with ``pad_id`` after its first end-of-sequence
+    token (shapes stay static — the reference serving stacks' stopping
+    semantics on a TPU-friendly fixed-length loop).
     """
     b, t = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def pick(logits, k):
+        return sample_logits(logits, k, temperature=temperature,
+                             top_k=top_k, top_p=top_p)
+
     logits, cache = prefill(cfg, params, prompt, h, max_len=max_len,
                             quantized=quantized, method=method)
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    key, k0 = jax.random.split(key)
+    first = pick(logits, k0)
+    done0 = jnp.zeros((b,), bool)
 
-    def step(carry, _):
-        token, pos, cache = carry
+    def step(carry, k):
+        token, pos, cache, done = carry
         logits, cache = decode_step(cfg, params, cache, token, pos, h,
                                     quantized=quantized, method=method)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, pos + 1, cache), token
+        nxt = pick(logits, k)
+        out = jnp.where(done, pad_id, token)
+        if eos_id is not None:
+            done = done | (token == eos_id)
+        return (nxt, pos + 1, cache, done), out
 
-    (_, _, _), toks = jax.lax.scan(step, (first, jnp.int32(t), cache),
-                                   None, length=steps)
+    keys = jax.random.split(key, steps)
+    (_, _, _, _), toks = jax.lax.scan(step, (first, jnp.int32(t), cache,
+                                             done0), keys)
     return jnp.swapaxes(toks, 0, 1)               # [B, steps]

@@ -67,3 +67,47 @@ def test_missing_key_reports_name():
     del s["model.layers.0.mlp.up_proj.weight"]
     with pytest.raises(KeyError, match="up_proj"):
         params_from_hf_state_dict(cfg, s)
+
+
+def test_load_model_one_call(tmp_path):
+    """load_model: config.json + safetensors dir -> (cfg, params[, quantized])."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.models.hf_loader import load_model
+
+    cfg = tiny_config()
+    state = _fake_state(cfg)
+    safetensors.save_file(state, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "model_type": "qwen3",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": False,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    lcfg, params = load_model(str(tmp_path))
+    assert lcfg.num_layers == cfg.num_layers and lcfg.qk_norm
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0,
+                              cfg.vocab_size)
+    out = forward(lcfg, params, toks)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    from helpers import bf16_hadamard
+    h = bf16_hadamard(32)
+    qcfg, qparams = load_model(str(tmp_path), quantize=True, h=h)
+    lw = qparams["layers"][0]["q_proj"]
+    assert set(lw) == {"wqt", "wst"} and lw["wqt"].dtype == jnp.uint8
+    qout = forward(qcfg, qparams, toks, h, quantized=True)
+    a = np.asarray(out, np.float32).ravel()
+    b = np.asarray(qout, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.9, cos

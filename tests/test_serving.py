@@ -76,3 +76,63 @@ def test_generate_greedy_consistency():
         got.append(tok)
     manual = jnp.stack(got, axis=1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(manual))
+
+
+def test_sample_logits_controls():
+    from qutlass_tpu.models import sample_logits
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0, 3.0]], jnp.float32)
+
+    # temperature 0 -> greedy
+    assert int(sample_logits(logits, key, temperature=0.0)[0]) == 1
+    # top_k = 1 -> greedy regardless of key
+    for s in range(5):
+        k = jax.random.PRNGKey(s)
+        assert int(sample_logits(logits, k, temperature=1.0, top_k=1)[0]) == 1
+    # tiny top_p keeps only the argmax of a peaked distribution
+    for s in range(5):
+        k = jax.random.PRNGKey(s)
+        assert int(sample_logits(logits, k, temperature=1.0,
+                                 top_p=0.05)[0]) == 1
+    # temperature sampling over near-uniform logits varies with the key
+    u = jnp.zeros((1, 64), jnp.float32)
+    draws = {int(sample_logits(u, jax.random.PRNGKey(s), temperature=1.0)[0])
+             for s in range(16)}
+    assert len(draws) > 4
+    # top_k restricts the support
+    lg = jnp.arange(64, dtype=jnp.float32)[None, :] * 0.1
+    for s in range(16):
+        tok = int(sample_logits(lg, jax.random.PRNGKey(s), temperature=5.0,
+                                top_k=8)[0])
+        assert tok >= 56
+
+
+def test_generate_sampled_and_eos_padding():
+    cfg, params, h = _setup(True)
+    prompt = jax.random.randint(jax.random.PRNGKey(5), (2, 4), 0,
+                                cfg.vocab_size)
+    steps = 8
+    greedy = np.asarray(generate(cfg, params, prompt, h, steps=steps,
+                                 max_len=16, quantized=True))
+    # sampled generation is reproducible per key and differs across keys
+    s1 = np.asarray(generate(cfg, params, prompt, h, steps=steps, max_len=16,
+                             quantized=True, key=jax.random.PRNGKey(1),
+                             temperature=1.0, top_k=0))
+    s1b = np.asarray(generate(cfg, params, prompt, h, steps=steps, max_len=16,
+                              quantized=True, key=jax.random.PRNGKey(1),
+                              temperature=1.0, top_k=0))
+    np.testing.assert_array_equal(s1, s1b)
+
+    # eos padding: pick the token greedy emits at step 2 for row 0 as eos;
+    # everything after its first occurrence must be pad_id
+    eos = int(greedy[0, 2])
+    out = np.asarray(generate(cfg, params, prompt, h, steps=steps, max_len=16,
+                              quantized=True, eos_id=eos, pad_id=-1))
+    for b in range(out.shape[0]):
+        hits = np.nonzero(greedy[b] == eos)[0]
+        if hits.size == 0:
+            np.testing.assert_array_equal(out[b], greedy[b])
+        else:
+            j = int(hits[0])
+            np.testing.assert_array_equal(out[b, : j + 1], greedy[b, : j + 1])
+            assert (out[b, j + 1:] == -1).all()
