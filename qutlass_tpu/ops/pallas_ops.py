@@ -1,9 +1,9 @@
 """Pallas-backed op implementations (TPU compiled path).
 
-Forward quantize and the block-scaled GEMMs run as Mosaic kernels; the
-QAT backward ops currently route through the XLA emulation graph on
-device (they are prototype-grade in the reference too —
-quartet_bwd_sm120.cu) and will gain fused kernels.
+Forward quantize, the block-scaled GEMMs, and the QAT backward ops all
+run as Mosaic kernels; shapes outside each kernel's constraints (noted
+per function) route to the bit-compatible XLA emulation graph, and
+batched inputs vmap the 2-D kernels.
 """
 import jax
 
@@ -32,13 +32,21 @@ def backward_t_bf16(x, h, *, rot_size: int = 32):
 
 
 def backward_qt_bf16(x_e2m1, x_e8m0, h, alpha, *, rot_size: int = 32):
+    """Pallas when M % 256 == 0 and N % 256 == 0; batched via vmap."""
     m = x_e2m1.shape[-2]
     n = x_e2m1.shape[-1] * 2
-    if x_e2m1.ndim != 2 or m % 256 != 0 or n % 256 != 0:
+    if m % 256 != 0 or n % 256 != 0:
         return _emu.backward_qt_bf16(x_e2m1, x_e8m0, h, alpha,
                                      rot_size=rot_size)
-    return _bwd.backward_qt_bf16_2d(x_e2m1, x_e8m0, h, alpha,
-                                    rot_size=rot_size)
+    fn = lambda xq, xs: _bwd.backward_qt_bf16_2d(xq, xs, h, alpha,
+                                                 rot_size=rot_size)
+    if x_e2m1.ndim == 2:
+        return fn(x_e2m1, x_e8m0)
+    lead = x_e2m1.shape[:-2]
+    xq3 = x_e2m1.reshape(-1, m, n // 2)
+    xs3 = x_e8m0.reshape(-1, m, n // 32)
+    pk, st = jax.vmap(fn)(xq3, xs3)
+    return (pk.reshape(*lead, n, m // 2), st.reshape(*lead, n, m // 32))
 
 
 def backward_bf16_square_double_mxfp8(x):

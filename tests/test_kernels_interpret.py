@@ -179,3 +179,19 @@ def test_gemm_kmajor_tiny_m(data):
         want = E.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, one)
         assert got.shape == (m, 64)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_backward_qt_batched(data):
+    # batched [B, M, N/2] routes through vmap of the 2-D kernel and must
+    # match the emulation batch semantics bitwise
+    from qutlass_tpu.ops import pallas_ops as PO
+    x, h, _ = data
+    xb = jnp.stack([x, -x])                       # [2, 256, 512]
+    xq, xs = E.fused_quantize_mx(xb, h, rot_size=32, method="abs_max")
+    xs3 = xs.reshape(2, 256, -1)[:, :, :16]
+    al = jnp.asarray([3.0], jnp.float32)
+    pk, ps = PO.backward_qt_bf16(xq, xs3, h, al, rot_size=32)
+    ek, es = E.backward_qt_bf16(xq, xs3, h, al, rot_size=32)
+    assert pk.shape == ek.shape and ps.shape == es.shape
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(es))
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(ek))
