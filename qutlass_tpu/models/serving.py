@@ -48,10 +48,20 @@ def _attend(cfg, qh, kc, vc, pos_limit):
     return out.astype(jnp.bfloat16)
 
 
-def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized):
+def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
+           reduce=None):
     """One transformer block over x [B, T, D], updating the KV cache at
-    positions [start_pos, start_pos + T)."""
+    positions [start_pos, start_pos + T).
+
+    ``reduce`` (optional) is applied to the attention-output and MLP-down
+    projections before their residual adds — the Megatron tensor-parallel
+    hook: with heads and intermediate columns sharded, those two
+    projections produce partial sums and ``reduce = psum(axis)`` restores
+    the replicated activations (models/serving_tp.py).
+    """
     b, t, _ = x.shape
+    if reduce is None:
+        reduce = lambda y: y
     xin = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
     qh = _linear(xin, layer["q_proj"], h, method, quantized)
     kh = _linear(xin, layer["k_proj"], h, method, quantized)
@@ -71,14 +81,14 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized):
 
     attn = _attend(cfg, qh, kc, vc, start_pos + t)
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
-    x = x + _linear(attn, layer["o_proj"], h, method, quantized)
+    x = x + reduce(_linear(attn, layer["o_proj"], h, method, quantized))
 
     xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
     gate = _linear(xin, layer["gate_proj"], h, method, quantized)
     up = _linear(xin, layer["up_proj"], h, method, quantized)
     act = (jax.nn.silu(gate.astype(jnp.float32))
            * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + _linear(act, layer["down_proj"], h, method, quantized)
+    x = x + reduce(_linear(act, layer["down_proj"], h, method, quantized))
     return x, {"k": kc, "v": vc}
 
 

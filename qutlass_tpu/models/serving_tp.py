@@ -1,0 +1,219 @@
+"""Tensor-parallel quantized serving over a ``jax.sharding.Mesh``.
+
+Megatron-style sharding of the W4A4 transformer for multi-chip
+inference — the layer the reference delegates to vLLM's TP engine
+(reference README.md:66; the kernels themselves are shard-transparent,
+SURVEY.md §2.10).  Heads and MLP columns are sharded over the ``tp``
+mesh axis; the attention-output and MLP-down projections produce
+partial sums that one ``psum`` per branch restores (two collectives
+per layer, riding ICI).  The KV cache is sharded over heads, so cache
+memory also scales 1/tp.
+
+Quantization commutes with this sharding: rotation/scale groups are 32
+elements along K and every shard boundary here is a multiple of the
+head/group size, so per-shard quantize produces exactly the bytes of
+the full-tensor quantize restricted to the shard (scales shard like
+their data).  Outputs differ from single-chip only by the fp32
+summation order of the psum.
+
+All entry points take params already placed with
+:func:`shard_params` and run a single ``shard_map`` dispatch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .serving import _block, _logits, init_cache, sample_logits
+from .transformer import ModelConfig
+
+
+def shard_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
+    """The per-shard view of the model: heads and MLP columns / tp."""
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    assert cfg.num_kv_heads % tp == 0, (cfg.num_kv_heads, tp)
+    assert cfg.intermediate_size % tp == 0
+    # per-shard K of the o_proj / rotation groups must stay whole
+    assert (cfg.num_heads // tp) * cfg.head_dim % 32 == 0
+    assert (cfg.intermediate_size // tp) % 32 == 0
+    return dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp)
+
+
+def _wspec(name: str, quantized: bool, axis: str):
+    """PartitionSpec for one projection weight.
+
+    Column-parallel (q/k/v/gate/up): output dim sharded.  Row-parallel
+    (o/down): input (K) dim sharded.  Quantized weights are kmajor
+    {wqt [K/2, N], wst [K/gs, N]}: the output dim is axis 1 and the K
+    dim axis 0, so both orientations are expressible on the same dict.
+    bf16 weights are [N, K] (out, in).
+    """
+    col = name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+    if quantized:
+        spec = P(None, axis) if col else P(axis, None)
+        return {"wqt": spec, "wst": spec}
+    return P(axis, None) if col else P(None, axis)
+
+
+def param_specs(cfg: ModelConfig, quantized: bool = True, axis: str = "tp"):
+    """PartitionSpec pytree matching (quantized) transformer params."""
+    layer = {
+        "input_norm": P(None), "post_attn_norm": P(None),
+    }
+    if cfg.qk_norm:
+        layer["q_norm"] = P(None)
+        layer["k_norm"] = P(None)
+    for nm in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+               "up_proj", "down_proj"):
+        layer[nm] = _wspec(nm, quantized, axis)
+    specs = {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+    }
+    if not cfg.tie_embeddings:
+        specs["lm_head"] = P(None, None)
+    return specs
+
+
+def shard_params(cfg: ModelConfig, params, mesh: Mesh, *,
+                 quantized: bool = True, axis: str = "tp"):
+    """device_put the param tree with the TP NamedShardings."""
+    specs = param_specs(cfg, quantized, axis)
+    # map over the spec tree (PartitionSpec is a tuple — stop there)
+    return jax.tree.map(
+        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
+        specs, params, is_leaf=lambda s: isinstance(s, P))
+
+
+def _cache_spec(cfg: ModelConfig, axis: str):
+    # cache k/v: [B, L, kv_heads, head_dim], heads sharded
+    one = {"k": P(None, None, axis, None), "v": P(None, None, axis, None)}
+    return [dict(one) for _ in range(cfg.num_layers)]
+
+
+def _run_blocks(scfg, params, x, caches, start_pos, h, method, quantized,
+                axis):
+    red = lambda y: lax.psum(y, axis)
+    new = []
+    for layer, cl in zip(params["layers"], caches):
+        x, cl = _block(scfg, layer, x, cl, start_pos, h, method, quantized,
+                       reduce=red)
+        new.append(cl)
+    return x, new
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
+                                             "max_len", "quantized",
+                                             "method"))
+def tp_prefill(cfg: ModelConfig, params, tokens, h, mesh: Mesh, *,
+               max_len: int, quantized: bool = True,
+               method: str = "quest", axis: str = "tp"):
+    """Sharded prefill: tokens [B, T] -> (logits [B, vocab], sharded cache)."""
+    tp = mesh.shape[axis]
+    scfg = shard_cfg(cfg, tp)
+    b = tokens.shape[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs(cfg, quantized, axis), P(None, None)),
+        out_specs=(P(None, None), _cache_spec(cfg, axis)),
+        check_rep=False)
+    def run(p, toks):
+        cache = init_cache(scfg, b, max_len)
+        x = p["embed"][toks]
+        x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
+                               axis)
+        return _logits(scfg, p, x[:, -1]), cache
+
+    return run(params, tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
+                                             "quantized", "method"))
+def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
+                   mesh: Mesh, *, quantized: bool = True,
+                   method: str = "quest", axis: str = "tp"):
+    """One sharded decode step: token [B] at traced position ``pos``."""
+    tp = mesh.shape[axis]
+    scfg = shard_cfg(cfg, tp)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs(cfg, quantized, axis), _cache_spec(cfg, axis),
+                  P(None), P()),
+        out_specs=(P(None, None), _cache_spec(cfg, axis)),
+        check_rep=False)
+    def run(p, cache, tok, ps):
+        x = p["embed"][tok][:, None]
+        x, cache = _run_blocks(scfg, p, x, cache, ps, h, method, quantized,
+                               axis)
+        return _logits(scfg, p, x[:, 0]), cache
+
+    return run(params, cache, token, pos)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "steps",
+                                             "max_len", "quantized", "method",
+                                             "temperature", "top_k", "top_p",
+                                             "eos_id", "pad_id"))
+def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
+                steps: int, max_len: int, quantized: bool = True,
+                method: str = "quest", axis: str = "tp", key=None,
+                temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+                eos_id: int | None = None, pad_id: int = 0):
+    """Sharded generation: one shard_map dispatch for prefill + decode scan.
+
+    Sampling uses the same key on every shard, so all shards pick the
+    same token without an extra collective.
+    """
+    tp = mesh.shape[axis]
+    scfg = shard_cfg(cfg, tp)
+    b, t = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def pick(logits, k):
+        return sample_logits(logits, k, temperature=temperature,
+                             top_k=top_k, top_p=top_p)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs(cfg, quantized, axis), P(None, None), P(None)),
+        out_specs=P(None, None),
+        check_rep=False)
+    def run(p, prompt, key):
+        cache = init_cache(scfg, b, max_len)
+        x = p["embed"][prompt]
+        x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
+                               axis)
+        key, k0 = jax.random.split(key)
+        first = pick(_logits(scfg, p, x[:, -1]), k0)
+        done0 = jnp.zeros((b,), bool)
+
+        def step(carry, k):
+            token, pos, cache, done = carry
+            x = p["embed"][token][:, None]
+            x, cache = _run_blocks(scfg, p, x, cache, pos, h, method,
+                                   quantized, axis)
+            nxt = pick(_logits(scfg, p, x[:, 0]), k)
+            out = jnp.where(done, pad_id, token)
+            if eos_id is not None:
+                done = done | (token == eos_id)
+            return (nxt, pos + 1, cache, done), out
+
+        keys = jax.random.split(key, steps)
+        (_, _, _, _), toks = jax.lax.scan(
+            step, (first, jnp.int32(t), cache, done0), keys)
+        return jnp.swapaxes(toks, 0, 1)
+
+    return run(params, prompt, key)

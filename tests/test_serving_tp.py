@@ -1,0 +1,122 @@
+"""Tensor-parallel serving tests on the 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qutlass_tpu.models import (init_params, prefill, decode_step, generate,
+                                quantize_model_weights, tiny_config)
+from qutlass_tpu.models import serving_tp as TP
+from qutlass_tpu.parallel.sharding import make_mesh
+from helpers import bf16_hadamard
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    qparams = quantize_model_weights(cfg, params, h)
+    return cfg, params, qparams, h
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_prefill_matches_single_device(setup, tp):
+    if tp == 4:
+        # tiny_config has 2 kv heads; use a 4-kv-head variant for tp=4
+        cfg = tiny_config(num_kv_heads=4)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        h = bf16_hadamard(32)
+        qparams = quantize_model_weights(cfg, params, h)
+    else:
+        cfg, params, qparams, h = setup
+    if jax.device_count() < tp:
+        pytest.skip("not enough devices")
+    mesh = make_mesh({"tp": tp})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                              cfg.vocab_size)
+
+    # bf16 path first: pure sharding correctness (no quantization to
+    # amplify the bf16 psum-partial rounding) -> tight tolerance
+    bp = TP.shard_params(cfg, params, mesh, quantized=False)
+    ref_logits, ref_cache = prefill(cfg, params, toks, h, max_len=16)
+    tpl, tpc = TP.tp_prefill(cfg, bp, toks, h, mesh, max_len=16,
+                             quantized=False)
+    np.testing.assert_allclose(np.asarray(tpl, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=2e-2, atol=3e-2)
+    for l in range(cfg.num_layers):
+        np.testing.assert_allclose(
+            np.asarray(tpc[l]["k"], np.float32),
+            np.asarray(ref_cache[l]["k"], np.float32), rtol=2e-2, atol=3e-2)
+
+    # quantized path: per-shard quantize == full quantize restricted to
+    # the shard, but bf16 psum partial rounding flips borderline codes —
+    # compare directionally (same bound as the single-device serving test)
+    ref_logits, _ = prefill(cfg, qparams, toks, h, max_len=16,
+                            quantized=True)
+    tpl, _ = TP.tp_prefill(cfg, sp, toks, h, mesh, max_len=16)
+    a = np.asarray(tpl, np.float32).ravel()
+    b = np.asarray(ref_logits, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.95, cos
+
+
+def test_tp_decode_step_matches_single_device(setup):
+    cfg, params, qparams, h = setup
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, 6), 0,
+                              cfg.vocab_size)
+
+    ref_logits, ref_cache = prefill(cfg, qparams, toks[:, :4], h, max_len=8,
+                                    quantized=True)
+    tpl, tpc = TP.tp_prefill(cfg, sp, toks[:, :4], h, mesh, max_len=8)
+    for p in range(4, 6):
+        ref_logits, ref_cache = decode_step(cfg, qparams, ref_cache,
+                                            toks[:, p], jnp.int32(p), h,
+                                            quantized=True)
+        tpl, tpc = TP.tp_decode_step(cfg, sp, tpc, toks[:, p], jnp.int32(p),
+                                     h, mesh)
+        a = np.asarray(tpl, np.float32).ravel()
+        b = np.asarray(ref_logits, np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.95, (p, cos)
+
+
+def test_tp_generate_consistency(setup):
+    """tp_generate (one dispatch) == manual tp prefill + decode loop."""
+    cfg, params, qparams, h = setup
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 4), 0,
+                                cfg.vocab_size)
+    steps = 5
+    toks = np.asarray(TP.tp_generate(cfg, sp, prompt, h, mesh, steps=steps,
+                                     max_len=16))
+    assert toks.shape == (2, steps)
+
+    logits, cache = TP.tp_prefill(cfg, sp, prompt, h, mesh, max_len=16)
+    cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    got = []
+    pos = 4
+    for _ in range(steps):
+        got.append(np.asarray(cur))
+        logits, cache = TP.tp_decode_step(cfg, sp, cache, cur,
+                                          jnp.int32(pos), h, mesh)
+        cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos += 1
+    np.testing.assert_array_equal(toks, np.stack(got, axis=1))
+
+
+def test_tp_sampled_generate_reproducible(setup):
+    cfg, params, qparams, h = setup
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    prompt = jnp.zeros((1, 4), jnp.int32)
+    kw = dict(steps=4, max_len=8, key=jax.random.PRNGKey(7),
+              temperature=1.0, top_k=16)
+    t1 = np.asarray(TP.tp_generate(cfg, sp, prompt, h, mesh, **kw))
+    t2 = np.asarray(TP.tp_generate(cfg, sp, prompt, h, mesh, **kw))
+    np.testing.assert_array_equal(t1, t2)
