@@ -1,5 +1,5 @@
-"""Full MXFP4 benchmark sweep (reference protocol:
-benchmarks/bench_mxfp4_sm120.py:161-178).
+"""Full MXFP4 / NVFP4 benchmark sweep (reference protocol:
+benchmarks/bench_mxfp4_sm120.py:161-178, bench_nvfp4_sm120.py).
 
 Per (model layer N,K) x hadamard size x M: times
   actual — quantize + kmajor GEMM (the production composed path),
@@ -10,6 +10,12 @@ reporting TFLOP/s = 2*M*N*K/t with the slope-timed chained-scan
 harness (qutlass_tpu.profiling) and weights cycled per chain step.
 
 Usage:  python benchmarks/bench_mxfp4.py [--model qwen3-32b] [--had 32]
+        [--fmt mx|nv]
+
+NV mode uses the abs-max (vLLM-compatible) quantizer with unit global
+scales — same kernels and alpha plumbing as the two-level scheme, with
+the per-tensor scale computation held constant so the sweep measures
+kernel cost.
 """
 import argparse
 import json
@@ -33,6 +39,7 @@ def main():
     ap.add_argument("--ms", type=int, nargs="*",
                     default=[1, 16, 64, 256, 1024, 2048])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--fmt", default="mx", choices=["mx", "nv"])
     ap.add_argument("--skip-fused", action="store_true")
     args = ap.parse_args()
 
@@ -54,14 +61,28 @@ def main():
     one = jnp.ones((1,), jnp.float32)
     NW = 2   # weights cycled per chain step (defeats VMEM residency)
 
+    if args.fmt == "nv":
+        gs1 = jnp.ones((), jnp.float32)
+
+        def quantize(x):
+            return P.fused_quantize_nv(x, h, gs1, rot_size=args.had,
+                                       method="abs_max", layout="kmajor")
+
+        gemm = P.matmul_nvf4_bf16_kmajor
+    else:
+        def quantize(x):
+            return P.fused_quantize_mx(x, h, rot_size=args.had,
+                                       method="quest", layout="kmajor")
+
+        gemm = P.matmul_mxf4_bf16_kmajor
+
     results = []
     for K, N in MODELS[args.model]:
         wTs, wqts, wsts = [], [], []
         for _ in range(NW):
             w = jnp.asarray((rng.standard_normal((N, K)) * 0.05)
                             .astype(ml_dtypes.bfloat16))
-            wqt, wst = P.fused_quantize_mx(w, h, rot_size=args.had,
-                                           method="quest", layout="kmajor")
+            wqt, wst = quantize(w)
             wTs.append(w.T)
             wqts.append(wqt)
             wsts.append(wst)
@@ -69,18 +90,15 @@ def main():
         for M in args.ms:
             a = jnp.asarray(rng.standard_normal((M, K))
                             .astype(ml_dtypes.bfloat16))
-            aqt, ast = P.fused_quantize_mx(a, h, rot_size=args.had,
-                                           method="quest", layout="kmajor")
+            aqt, ast = quantize(a)
 
             qp = {"wqt": wqts, "wst": wsts, "a": a, "aqt": aqt, "ast": ast}
             bp = {"wT": wTs, "a": a}
 
             def actual(d, j, p):
                 x = chain_dep(p["a"], d)
-                xq, xs = P.fused_quantize_mx(x, h, rot_size=args.had,
-                                             method="quest", layout="kmajor")
-                return P.matmul_mxf4_bf16_kmajor(xq, p["wqt"][j % NW], xs,
-                                                 p["wst"][j % NW], one)
+                xq, xs = quantize(x)
+                return gemm(xq, p["wqt"][j % NW], xs, p["wst"][j % NW], one)
 
             def fused(d, j, p):
                 return P.fused_linear_mxf4(chain_dep(p["a"], d),
@@ -89,18 +107,20 @@ def main():
                                            rot_size=args.had)
 
             def ideal(d, j, p):
-                return P.matmul_mxf4_bf16_kmajor(chain_dep(p["aqt"], d),
-                                                 p["wqt"][j % NW], p["ast"],
-                                                 p["wst"][j % NW], one)
+                return gemm(chain_dep(p["aqt"], d), p["wqt"][j % NW],
+                            p["ast"], p["wst"][j % NW], one)
 
             def bf16(d, j, p):
                 return chain_dep(p["a"], d) @ p["wT"][j % NW]
 
             cols = [("actual", actual, qp), ("ideal", ideal, qp),
                     ("bf16", bf16, bp)]
+            if args.fmt == "nv":
+                args.skip_fused = True   # fused linear bench is MX-tuned
             if not args.skip_fused:
                 cols.insert(1, ("fused", fused, qp))
-            rec = dict(model=args.model, K=K, N=N, M=M, had=args.had)
+            rec = dict(model=args.model, fmt=args.fmt, K=K, N=N, M=M,
+                       had=args.had)
             for name, op, pp in cols:
                 t = benchmark(op, params=pp)
                 rec[name + "_us"] = round(t * 1e6, 1)

@@ -19,6 +19,8 @@ import numpy as np
 
 import qutlass_tpu as q
 
+from . import serving as _serving
+
 from .transformer import (ModelConfig, _linear, _rms_norm, _rope,
                           init_params as _dense_init,
                           quantize_model_weights as _dense_quant)
@@ -181,3 +183,35 @@ def forward(cfg: MoeConfig, params, tokens, h=None, *, quantized=False,
     logits = jax.lax.dot_general(x, head, (((2,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     return logits
+
+
+# ---------------------------------------------------------------------------
+# serving (KV cache) — reuses the dense serving harness with the MoE MLP
+# ---------------------------------------------------------------------------
+
+def _moe_mlp_block(cfg, layer, xin, h, method, quantized):
+    """serving._block ``mlp`` hook: [B, T, D] -> [B, T, D]."""
+    b, t, d = xin.shape
+    y = _moe_mlp(cfg, layer, xin.reshape(b * t, d), h, method, quantized)
+    return y.reshape(b, t, d)
+
+
+def prefill(cfg: MoeConfig, params, tokens, h=None, *, max_len: int,
+            quantized: bool = False, method: str = "quest"):
+    """KV-cache prefill for the MoE family (see serving.prefill)."""
+    return _serving.prefill(cfg, params, tokens, h, max_len=max_len,
+                            quantized=quantized, method=method,
+                            mlp=_moe_mlp_block)
+
+
+def decode_step(cfg: MoeConfig, params, cache, token, pos, h=None, *,
+                quantized: bool = False, method: str = "quest"):
+    """One MoE decode step (see serving.decode_step)."""
+    return _serving.decode_step(cfg, params, cache, token, pos, h,
+                                quantized=quantized, method=method,
+                                mlp=_moe_mlp_block)
+
+
+def generate(cfg: MoeConfig, params, prompt, h=None, **kw):
+    """MoE generation with the full sampling surface (see serving.generate)."""
+    return _serving.generate(cfg, params, prompt, h, mlp=_moe_mlp_block, **kw)

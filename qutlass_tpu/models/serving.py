@@ -49,15 +49,19 @@ def _attend(cfg, qh, kc, vc, pos_limit):
 
 
 def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
-           reduce=None):
+           reduce=None, mlp=None):
     """One transformer block over x [B, T, D], updating the KV cache at
     positions [start_pos, start_pos + T).
 
-    ``reduce`` (optional) is applied to the attention-output and MLP-down
-    projections before their residual adds — the Megatron tensor-parallel
-    hook: with heads and intermediate columns sharded, those two
-    projections produce partial sums and ``reduce = psum(axis)`` restores
-    the replicated activations (models/serving_tp.py).
+    ``reduce`` (optional) is applied to the attention-output and MLP
+    branch outputs before their residual adds — the Megatron
+    tensor-parallel hook: with heads and intermediate columns sharded,
+    those projections produce partial sums and ``reduce = psum(axis)``
+    restores the replicated activations (models/serving_tp.py).
+
+    ``mlp`` (optional) replaces the dense gate/up/down MLP branch —
+    signature ``mlp(cfg, layer, xin, h, method, quantized) -> [B, T, D]``
+    (used by the MoE family, models/moe.py).
     """
     b, t, _ = x.shape
     if reduce is None:
@@ -84,11 +88,15 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
     x = x + reduce(_linear(attn, layer["o_proj"], h, method, quantized))
 
     xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
-    gate = _linear(xin, layer["gate_proj"], h, method, quantized)
-    up = _linear(xin, layer["up_proj"], h, method, quantized)
-    act = (jax.nn.silu(gate.astype(jnp.float32))
-           * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + reduce(_linear(act, layer["down_proj"], h, method, quantized))
+    if mlp is not None:
+        branch = mlp(cfg, layer, xin, h, method, quantized)
+    else:
+        gate = _linear(xin, layer["gate_proj"], h, method, quantized)
+        up = _linear(xin, layer["up_proj"], h, method, quantized)
+        act = (jax.nn.silu(gate.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(x.dtype)
+        branch = _linear(act, layer["down_proj"], h, method, quantized)
+    x = x + reduce(branch)
     return x, {"k": kc, "v": vc}
 
 
@@ -100,24 +108,26 @@ def _logits(cfg, params, x):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "quantized", "method", "max_len"))
+                   static_argnames=("cfg", "quantized", "method", "max_len",
+                                    "mlp"))
 def prefill(cfg: ModelConfig, params, tokens, h=None, *, max_len: int,
-            quantized: bool = False, method: str = "quest"):
+            quantized: bool = False, method: str = "quest", mlp=None):
     """Prefill [B, T] prompt -> (last-position logits [B, vocab], cache)."""
     b, t = tokens.shape
     cache = init_cache(cfg, b, max_len)
     x = params["embed"][tokens]
     new_cache = []
     for layer, cache_l in zip(params["layers"], cache):
-        x, cl = _block(cfg, layer, x, cache_l, 0, h, method, quantized)
+        x, cl = _block(cfg, layer, x, cache_l, 0, h, method, quantized,
+                       mlp=mlp)
         new_cache.append(cl)
     return _logits(cfg, params, x[:, -1]), new_cache
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "quantized", "method"))
+                   static_argnames=("cfg", "quantized", "method", "mlp"))
 def decode_step(cfg: ModelConfig, params, cache, token, pos, h=None, *,
-                quantized: bool = False, method: str = "quest"):
+                quantized: bool = False, method: str = "quest", mlp=None):
     """One decode step: token [B] int32 at position ``pos`` (traced).
 
     Returns (logits [B, vocab], updated cache).
@@ -125,7 +135,8 @@ def decode_step(cfg: ModelConfig, params, cache, token, pos, h=None, *,
     x = params["embed"][token][:, None]            # [B, 1, D]
     new_cache = []
     for layer, cache_l in zip(params["layers"], cache):
-        x, cl = _block(cfg, layer, x, cache_l, pos, h, method, quantized)
+        x, cl = _block(cfg, layer, x, cache_l, pos, h, method, quantized,
+                       mlp=mlp)
         new_cache.append(cl)
     return _logits(cfg, params, x[:, 0]), new_cache
 
@@ -163,12 +174,12 @@ def sample_logits(logits, key, *, temperature: float = 1.0, top_k: int = 0,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "steps", "quantized", "method",
                                     "max_len", "temperature", "top_k",
-                                    "top_p", "eos_id", "pad_id"))
+                                    "top_p", "eos_id", "pad_id", "mlp"))
 def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
              max_len: int, quantized: bool = False, method: str = "quest",
              key=None, temperature: float = 0.0, top_k: int = 0,
              top_p: float = 1.0, eos_id: int | None = None,
-             pad_id: int = 0):
+             pad_id: int = 0, mlp=None):
     """Autoregressive generation: prompt [B, T] -> tokens [B, steps].
 
     One compiled dispatch: prefill + ``steps`` decode iterations under
@@ -187,7 +198,7 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
                              top_k=top_k, top_p=top_p)
 
     logits, cache = prefill(cfg, params, prompt, h, max_len=max_len,
-                            quantized=quantized, method=method)
+                            quantized=quantized, method=method, mlp=mlp)
     key, k0 = jax.random.split(key)
     first = pick(logits, k0)
     done0 = jnp.zeros((b,), bool)
@@ -195,7 +206,8 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
     def step(carry, k):
         token, pos, cache, done = carry
         logits, cache = decode_step(cfg, params, cache, token, pos, h,
-                                    quantized=quantized, method=method)
+                                    quantized=quantized, method=method,
+                                    mlp=mlp)
         nxt = pick(logits, k)
         out = jnp.where(done, pad_id, token)
         if eos_id is not None:

@@ -43,3 +43,42 @@ def test_moe_forward_and_quantized():
     b = np.asarray(outq, np.float32).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.6, cos
+
+
+def test_moe_cached_decode_matches_forward():
+    from qutlass_tpu.models import moe
+    cfg = tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0,
+                              cfg.vocab_size)
+    # capacity is not exceeded at these token counts, so joint (prefill)
+    # and stepwise (decode) routing agree
+    full = moe.forward(cfg, params, toks, h)
+    logits, cache = moe.prefill(cfg, params, toks[:, :4], h, max_len=8)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, 3]),
+                               rtol=5e-2, atol=5e-2)
+    for p in range(4, 8):
+        logits, cache = moe.decode_step(cfg, params, cache, toks[:, p],
+                                        jnp.int32(p), h)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[:, p]),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_moe_generate_quantized():
+    from qutlass_tpu.models import moe
+    cfg = tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    qparams = moe.quantize_model_weights(cfg, params, h)
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (2, 4), 0,
+                                cfg.vocab_size)
+    toks = moe.generate(cfg, qparams, prompt, h, steps=4, max_len=8,
+                        quantized=True, key=jax.random.PRNGKey(3),
+                        temperature=0.7, top_k=8)
+    assert np.asarray(toks).shape == (2, 4)
+    t2 = moe.generate(cfg, qparams, prompt, h, steps=4, max_len=8,
+                      quantized=True, key=jax.random.PRNGKey(3),
+                      temperature=0.7, top_k=8)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(t2))
