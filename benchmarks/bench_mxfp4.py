@@ -59,7 +59,7 @@ def main():
         hm = np.block([[hm, hm], [hm, -hm]])
     h = jnp.asarray(hm * args.had ** -0.5, jnp.bfloat16)
     one = jnp.ones((1,), jnp.float32)
-    NW = 2   # weights cycled per chain step (defeats VMEM residency)
+    NW = 4   # weights cycled per chain step (defeats VMEM residency)
 
     if args.fmt == "nv":
         gs1 = jnp.ones((), jnp.float32)

@@ -76,4 +76,13 @@ prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
 toks = generate(cfg, qparams, prompt, h, steps=8, max_len=32, quantized=True)
 print("generated tokens:", np.asarray(toks)[0])
 
+# sampled decoding (temperature / top-k / top-p) with EOS padding
+toks = generate(cfg, qparams, prompt, h, steps=8, max_len=32, quantized=True,
+                key=jax.random.PRNGKey(2), temperature=0.8, top_p=0.95,
+                eos_id=7)
+print("sampled tokens:  ", np.asarray(toks)[0])
+
+# MoE family has the same serving surface (models.moe.generate), and
+# examples/tp_serving.py shards all of this over a tensor-parallel mesh.
+
 print("quickstart OK")
