@@ -56,11 +56,8 @@ if _HAS_FLAX:
 
 
 def _hadamard_cached(n: int) -> jnp.ndarray:
-    import numpy as np
-    h = np.array([[1.0]])
-    while h.shape[0] < n:
-        h = np.block([[h, h], [h, -h]])
-    return jnp.asarray(h * n ** -0.5, jnp.bfloat16)
+    from ..utils import hadamard_matrix
+    return hadamard_matrix(n, jnp.bfloat16)
 
 
 def swap_dense_kernels(params: Any, h: jnp.ndarray, method: str = "quest",
