@@ -1,14 +1,15 @@
 """Headline benchmark — MXFP4 W4A4 quantized linear vs bf16 on TPU.
 
-Mirrors the reference protocol (benchmarks/bench_mxfp4_sm120.py:161-178):
-Qwen3-32B layer geometry, Hadamard-32 rotation, activation path =
-fusedQuantizeMx -> matmul_mxf4_bf16_tn with pre-quantized weights,
-TFLOP/s = 2*M*N*K/t, swept over M.
+Mirrors the reference protocol (benchmarks/bench_mxfp4_sm120.py:85-178):
+all three Qwen3-32B layer geometries (5120x5120, 5120x51200,
+25600x5120), Hadamard-32 rotation, M swept across the reference's
+batch range {1..2048}; activation path = fusedQuantizeMx ->
+matmul_mxf4_bf16 with pre-quantized weights, TFLOP/s = 2*M*N*K/t.
 
 Prints ONE JSON line:
   metric      mxfp4_w4a4_linear_speedup_vs_bf16_geomean
   value       geometric-mean speedup of the quantized linear over the
-              bf16 linear across the M sweep (higher is better)
+              bf16 linear across the geometry x M sweep
   vs_baseline same number (the reference's own headline is this ratio
               on its hardware; no absolute numbers are published —
               BASELINE.md)
@@ -61,51 +62,61 @@ def main():
     h = jnp.asarray(hm * 32 ** -0.5, jnp.bfloat16)
     one = jnp.ones((1,), jnp.float32)
 
-    # Qwen3-32B layer (reference bench geometry), M sweep
-    N, K = 5120, 5120
-    MS = [16, 64, 256, 1024, 2048] if on_tpu else [16, 64]
-
-    # 8 distinct weights, cycled through the timing chain like real
-    # transformer layers — one weight re-used across the loop would let
-    # XLA keep it VMEM-resident, which multi-layer execution cannot
-    NW = 8 if on_tpu else 2
-    wTs, wqts, wsts = [], [], []
-    for i in range(NW):
-        w = jnp.asarray((rng.standard_normal((N, K)) * 0.05
-                         ).astype(ml_dtypes.bfloat16))
-        wqt, wst = P.fused_quantize_mx(w, h, rot_size=32, method="quest",
-                                       layout="kmajor")
-        wTs.append(w.T)
-        wqts.append(wqt)
-        wsts.append(wst)
-
-    # weights travel as jit ARGUMENTS (closure-captured arrays are
-    # embedded as HLO constants — the remote-compile tunnel rejects
-    # requests over ~100 MB)
-    qparams = {"wqt": wqts, "wst": wsts}
-    bparams = {"wT": wTs}
+    # Qwen3-32B layer geometries + M sweep (reference protocol)
+    if on_tpu:
+        GEOS = [(5120, 5120, 8), (5120, 51200, 4), (25600, 5120, 4)]
+        MS = [1, 16, 64, 256, 1024, 2048]
+    else:
+        GEOS = [(1024, 1024, 2)]
+        MS = [16, 64]
 
     speedups = []
-    for M in MS:
-        a = jnp.asarray((rng.standard_normal((M, K))).astype(ml_dtypes.bfloat16))
-
-        def quant_linear(d, j, p):
-            x = chain_dep(a, d)
-            xqt, xst = P.fused_quantize_mx(x, h, rot_size=32, method="quest",
+    for K, N, NW in GEOS:
+        # NW distinct weights, cycled through the timing chain like real
+        # transformer layers — one weight re-used across the loop would
+        # let XLA keep it VMEM-resident, which multi-layer execution
+        # cannot (8 for the small geometry; the big ones exceed VMEM
+        # regardless)
+        wTs, wqts, wsts = [], [], []
+        for i in range(NW):
+            w = jnp.asarray((rng.standard_normal((N, K)) * 0.05
+                             ).astype(ml_dtypes.bfloat16))
+            wqt, wst = P.fused_quantize_mx(w, h, rot_size=32, method="quest",
                                            layout="kmajor")
-            return P.matmul_mxf4_bf16_kmajor(xqt, p["wqt"][j % NW], xst,
-                                             p["wst"][j % NW], one)
+            wTs.append(w.T)
+            wqts.append(wqt)
+            wsts.append(wst)
+        del w
 
-        def bf16_linear(d, j, p):
-            return chain_dep(a, d) @ p["wT"][j % NW]
+        # weights travel as jit ARGUMENTS (closure-captured arrays are
+        # embedded as HLO constants — the remote-compile tunnel rejects
+        # requests over ~100 MB)
+        qparams = {"wqt": wqts, "wst": wsts}
+        bparams = {"wT": wTs}
 
-        tq = bench_scan(quant_linear, qparams)
-        tb = bench_scan(bf16_linear, bparams)
-        s = tb / tq
-        speedups.append(s)
-        tf = 2 * M * N * K / tq / 1e12
-        log(f"M={M:5d}: mxfp4 {tq*1e6:9.1f}us ({tf:6.2f} TF/s) "
-            f"bf16 {tb*1e6:9.1f}us  speedup {s:5.2f}x")
+        for M in MS:
+            a = jnp.asarray((rng.standard_normal((M, K))
+                             ).astype(ml_dtypes.bfloat16))
+
+            def quant_linear(d, j, p):
+                x = chain_dep(a, d)
+                xqt, xst = P.fused_quantize_mx(x, h, rot_size=32,
+                                               method="quest",
+                                               layout="kmajor")
+                return P.matmul_mxf4_bf16_kmajor(xqt, p["wqt"][j % NW], xst,
+                                                 p["wst"][j % NW], one)
+
+            def bf16_linear(d, j, p):
+                return chain_dep(a, d) @ p["wT"][j % NW]
+
+            tq = bench_scan(quant_linear, qparams)
+            tb = bench_scan(bf16_linear, bparams)
+            s = tb / tq
+            speedups.append(s)
+            tf = 2 * M * N * K / tq / 1e12
+            log(f"K={K:5d} N={N:5d} M={M:5d}: mxfp4 {tq*1e6:9.1f}us "
+                f"({tf:6.2f} TF/s) bf16 {tb*1e6:9.1f}us  speedup {s:5.2f}x")
+        del wTs, wqts, wsts, qparams, bparams
 
     geomean = float(np.exp(np.mean(np.log(speedups))))
     print(json.dumps({

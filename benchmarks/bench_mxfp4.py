@@ -40,6 +40,8 @@ def main():
                     default=[1, 16, 64, 256, 1024, 2048])
     ap.add_argument("--out", default=None)
     ap.add_argument("--fmt", default="mx", choices=["mx", "nv"])
+    ap.add_argument("--geo", type=int, default=None,
+                    help="index into the model's layer-geometry table")
     ap.add_argument("--skip-fused", action="store_true")
     args = ap.parse_args()
 
@@ -77,7 +79,10 @@ def main():
         gemm = P.matmul_mxf4_bf16_kmajor
 
     results = []
-    for K, N in MODELS[args.model]:
+    geos = MODELS[args.model]
+    if args.geo is not None:
+        geos = [geos[args.geo]]
+    for K, N in geos:
         wTs, wqts, wsts = [], [], []
         for _ in range(NW):
             w = jnp.asarray((rng.standard_normal((N, K)) * 0.05)
