@@ -64,6 +64,8 @@ def test_tp_prefill_matches_single_device(setup, tp):
 
 
 def test_tp_decode_step_matches_single_device(setup):
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
     cfg, params, qparams, h = setup
     mesh = make_mesh({"tp": 2})
     sp = TP.shard_params(cfg, qparams, mesh)
@@ -87,6 +89,8 @@ def test_tp_decode_step_matches_single_device(setup):
 
 def test_tp_generate_consistency(setup):
     """tp_generate (one dispatch) == manual tp prefill + decode loop."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
     cfg, params, qparams, h = setup
     mesh = make_mesh({"tp": 2})
     sp = TP.shard_params(cfg, qparams, mesh)
@@ -111,6 +115,8 @@ def test_tp_generate_consistency(setup):
 
 
 def test_tp_sampled_generate_reproducible(setup):
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
     cfg, params, qparams, h = setup
     mesh = make_mesh({"tp": 2})
     sp = TP.shard_params(cfg, qparams, mesh)
