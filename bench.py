@@ -62,16 +62,20 @@ def main():
     h = jnp.asarray(hm * 32 ** -0.5, jnp.bfloat16)
     one = jnp.ones((1,), jnp.float32)
 
-    # Qwen3-32B layer geometries + M sweep (reference protocol)
+    # Qwen3-32B layer geometries + M sweep (reference protocol).  The
+    # big geometries drop two mid-sweep M values to keep the whole
+    # bench under ~15 min of tunnel time (one winning and one losing M,
+    # so the geomean is within ~0.01 of the full 18-point sweep —
+    # benchmarks/results_mxfp4_qwen3-32b_had32.json has all 18).
     if on_tpu:
-        GEOS = [(5120, 5120, 8), (5120, 51200, 4), (25600, 5120, 4)]
-        MS = [1, 16, 64, 256, 1024, 2048]
+        GEOS = [(5120, 5120, 8, [1, 16, 64, 256, 1024, 2048]),
+                (5120, 51200, 4, [1, 16, 256, 2048]),
+                (25600, 5120, 4, [1, 16, 256, 2048])]
     else:
-        GEOS = [(1024, 1024, 2)]
-        MS = [16, 64]
+        GEOS = [(1024, 1024, 2, [16, 64])]
 
     speedups = []
-    for K, N, NW in GEOS:
+    for K, N, NW, MS in GEOS:
         # NW distinct weights, cycled through the timing chain like real
         # transformer layers — one weight re-used across the loop would
         # let XLA keep it VMEM-resident, which multi-layer execution
