@@ -95,3 +95,36 @@ def test_kshard_gemm_psum():
     ref32 = np.asarray(ref, np.float32)
     atol = 0.02 * float(np.abs(ref32).std() + 1.0)
     np.testing.assert_allclose(np.asarray(out), ref32, rtol=5e-2, atol=atol)
+
+
+def test_pershard_quantize_equals_sliced_full_bytes():
+    """The sharding-legality claim at the byte level (docs/SCALING.md):
+    quantizing a K- or M-shard emits exactly the bytes of the
+    full-tensor quantization restricted to that shard, because rotation
+    chunks and scale groups never straddle shard boundaries."""
+    from qutlass_tpu.ops import emulation as E
+    from helpers import bf16_hadamard, randn_bf16
+    rng = np.random.default_rng(3)
+    h = bf16_hadamard(32)
+    x = randn_bf16(rng, 16, 256)
+
+    fq, fs = E.fused_quantize_mx(x, h, rot_size=32, method="quest",
+                                 layout="kmajor")     # [K/2, M], [K/32, M]
+
+    # K-shard (tp row-parallel operand): halves along K
+    for i, sl in enumerate((slice(0, 128), slice(128, 256))):
+        sq, ss = E.fused_quantize_mx(x[:, sl], h, rot_size=32,
+                                     method="quest", layout="kmajor")
+        np.testing.assert_array_equal(np.asarray(sq),
+                                      np.asarray(fq)[i * 64:(i + 1) * 64])
+        np.testing.assert_array_equal(np.asarray(ss),
+                                      np.asarray(fs)[i * 4:(i + 1) * 4])
+
+    # M-shard (dp/sp operand): halves along rows
+    for i, sl in enumerate((slice(0, 8), slice(8, 16))):
+        sq, ss = E.fused_quantize_mx(x[sl], h, rot_size=32,
+                                     method="quest", layout="kmajor")
+        np.testing.assert_array_equal(np.asarray(sq),
+                                      np.asarray(fq)[:, i * 8:(i + 1) * 8])
+        np.testing.assert_array_equal(np.asarray(ss),
+                                      np.asarray(fs)[:, i * 8:(i + 1) * 8])
