@@ -102,12 +102,12 @@ def _cache_spec(cfg: ModelConfig, axis: str):
 
 
 def _run_blocks(scfg, params, x, caches, start_pos, h, method, quantized,
-                axis):
+                axis, mlp=None):
     red = lambda y: lax.psum(y, axis)
     new = []
     for layer, cl in zip(params["layers"], caches):
         x, cl = _block(scfg, layer, x, cl, start_pos, h, method, quantized,
-                       reduce=red)
+                       reduce=red, mlp=mlp)
         new.append(cl)
     return x, new
 
