@@ -46,3 +46,17 @@ tokens = serving_tp.tp_generate(cfg, sharded, prompt, h, mesh, steps=8,
                                 max_len=16, key=jax.random.PRNGKey(1),
                                 temperature=0.8, top_k=20)
 print("sampled tokens:", tokens.tolist())
+
+# MoE family: experts shard over the same axis (no all_to_all needed —
+# partial expert sums ride the per-layer psum)
+from qutlass_tpu.models import moe, moe_tp, tiny_moe_config
+
+mcfg = tiny_moe_config()
+mq = moe.quantize_model_weights(mcfg, moe.init_params(
+    mcfg, jax.random.PRNGKey(2)), h)
+tp2 = 2 if jax.device_count() >= 2 else 1
+mmesh = make_mesh({"tp": tp2})
+mtoks = moe_tp.tp_generate(mcfg, moe_tp.shard_params(mcfg, mq, mmesh),
+                           jnp.zeros((1, 4), jnp.int32), h, mmesh,
+                           steps=6, max_len=16)
+print("moe tokens:    ", mtoks.tolist())
