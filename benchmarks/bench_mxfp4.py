@@ -64,6 +64,7 @@ def main():
     NW = 4   # weights cycled per chain step (defeats VMEM residency)
 
     if args.fmt == "nv":
+        args.skip_fused = True   # fused linear bench is MX-tuned
         gs1 = jnp.ones((), jnp.float32)
 
         def quantize(x):
@@ -120,8 +121,6 @@ def main():
 
             cols = [("actual", actual, qp), ("ideal", ideal, qp),
                     ("bf16", bf16, bp)]
-            if args.fmt == "nv":
-                args.skip_fused = True   # fused linear bench is MX-tuned
             if not args.skip_fused:
                 cols.insert(1, ("fused", fused, qp))
             rec = dict(model=args.model, fmt=args.fmt, K=K, N=N, M=M,

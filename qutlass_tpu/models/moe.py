@@ -120,7 +120,10 @@ def topk_dispatch(logits: jax.Array, top_k: int, capacity: int):
 def _moe_mlp(cfg: MoeConfig, layer, x2, h, method, quantized):
     """x2 [m, D] -> MoE MLP output [m, D] (single-device dense routing)."""
     m, d = x2.shape
-    cap = max(32, int(2 * cfg.top_k * m / cfg.n_experts))
+    # per-expert occupancy can never exceed m (each token picks an
+    # expert at most once), so clamping to m is lossless and keeps the
+    # decode path (m = batch) from padding expert buffers to 32 rows
+    cap = min(m, max(32, int(2 * cfg.top_k * m / cfg.n_experts)))
     logits = x2.astype(jnp.float32) @ jnp.asarray(layer["router"], jnp.float32)
     dispatch, gates = topk_dispatch(logits, cfg.top_k, cap)
 

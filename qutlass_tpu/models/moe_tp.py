@@ -22,17 +22,14 @@ converts the tree from ``models.moe.quantize_model_weights`` /
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from . import serving_tp as _stp
 from .moe import MoeConfig, topk_dispatch
-from .serving import _logits, init_cache, sample_logits
-from .serving_tp import _cache_spec, _run_blocks, _wspec, shard_cfg
+from .serving_tp import _wspec
 from .transformer import _linear
 
 
@@ -96,7 +93,8 @@ def _moe_mlp_tp(gcfg: MoeConfig, axis: str):
         b, t, d = xin.shape
         x2 = xin.reshape(b * t, d)
         m = b * t
-        cap = max(32, int(2 * gcfg.top_k * m / gcfg.n_experts))
+        # same lossless clamp as moe._moe_mlp (occupancy <= m)
+        cap = min(m, max(32, int(2 * gcfg.top_k * m / gcfg.n_experts)))
         logits = x2.astype(jnp.float32) @ jnp.asarray(layer["router"],
                                                       jnp.float32)
         dispatch, gates = topk_dispatch(logits, gcfg.top_k, cap)
@@ -129,108 +127,31 @@ def _moe_mlp_tp(gcfg: MoeConfig, axis: str):
     return hook
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
-                                             "max_len", "quantized",
-                                             "method"))
-def tp_prefill(cfg: MoeConfig, params, tokens, h, mesh: Mesh, *,
-               max_len: int, quantized: bool = True,
-               method: str = "quest", axis: str = "tp"):
-    """Sharded MoE prefill (see serving_tp.tp_prefill)."""
+def _check(cfg: MoeConfig, mesh: Mesh, axis: str):
     tp = mesh.shape[axis]
-    scfg = shard_cfg(cfg, tp)
     assert cfg.n_experts % tp == 0, (cfg.n_experts, tp)
-    b = tokens.shape[0]
-    mlp = _moe_mlp_tp(cfg, axis)
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg, quantized, axis), P(None, None)),
-        out_specs=(P(None, None), _cache_spec(cfg, axis)),
-        check_rep=False)
-    def run(p, toks):
-        cache = init_cache(scfg, b, max_len)
-        x = p["embed"][toks]
-        x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
-                               axis, mlp=mlp)
-        return _logits(scfg, p, x[:, -1]), cache
-
-    return run(params, tokens)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
-                                             "quantized", "method"))
+def tp_prefill(cfg: MoeConfig, params, tokens, h, mesh: Mesh, **kw):
+    """Sharded MoE prefill (serving_tp.tp_prefill with the MoE hooks)."""
+    _check(cfg, mesh, kw.get("axis", "tp"))
+    return _stp.tp_prefill(cfg, params, tokens, h, mesh,
+                           specs_fn=param_specs, mlp_factory=_moe_mlp_tp,
+                           **kw)
+
+
 def tp_decode_step(cfg: MoeConfig, params, cache, token, pos, h,
-                   mesh: Mesh, *, quantized: bool = True,
-                   method: str = "quest", axis: str = "tp"):
-    """One sharded MoE decode step (see serving_tp.tp_decode_step)."""
-    tp = mesh.shape[axis]
-    scfg = shard_cfg(cfg, tp)
-    mlp = _moe_mlp_tp(cfg, axis)
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg, quantized, axis), _cache_spec(cfg, axis),
-                  P(None), P()),
-        out_specs=(P(None, None), _cache_spec(cfg, axis)),
-        check_rep=False)
-    def run(p, cache, tok, ps):
-        x = p["embed"][tok][:, None]
-        x, cache = _run_blocks(scfg, p, x, cache, ps, h, method, quantized,
-                               axis, mlp=mlp)
-        return _logits(scfg, p, x[:, 0]), cache
-
-    return run(params, cache, token, pos)
+                   mesh: Mesh, **kw):
+    """One sharded MoE decode step (serving_tp.tp_decode_step)."""
+    _check(cfg, mesh, kw.get("axis", "tp"))
+    return _stp.tp_decode_step(cfg, params, cache, token, pos, h, mesh,
+                               specs_fn=param_specs,
+                               mlp_factory=_moe_mlp_tp, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "steps",
-                                             "max_len", "quantized", "method",
-                                             "temperature", "top_k", "top_p",
-                                             "eos_id", "pad_id"))
-def tp_generate(cfg: MoeConfig, params, prompt, h, mesh: Mesh, *,
-                steps: int, max_len: int, quantized: bool = True,
-                method: str = "quest", axis: str = "tp", key=None,
-                temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
-                eos_id: int | None = None, pad_id: int = 0):
-    """Sharded MoE generation: one shard_map dispatch (see serving_tp)."""
-    tp = mesh.shape[axis]
-    scfg = shard_cfg(cfg, tp)
-    b, t = prompt.shape
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    mlp = _moe_mlp_tp(cfg, axis)
-
-    def pick(logits, k):
-        return sample_logits(logits, k, temperature=temperature,
-                             top_k=top_k, top_p=top_p)
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg, quantized, axis), P(None, None), P(None)),
-        out_specs=P(None, None),
-        check_rep=False)
-    def run(p, prompt, key):
-        cache = init_cache(scfg, b, max_len)
-        x = p["embed"][prompt]
-        x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
-                               axis, mlp=mlp)
-        key, k0 = jax.random.split(key)
-        first = pick(_logits(scfg, p, x[:, -1]), k0)
-        done0 = jnp.zeros((b,), bool)
-
-        def step(carry, k):
-            token, pos, cache, done = carry
-            x = p["embed"][token][:, None]
-            x, cache = _run_blocks(scfg, p, x, cache, pos, h, method,
-                                   quantized, axis, mlp=mlp)
-            nxt = pick(_logits(scfg, p, x[:, 0]), k)
-            out = jnp.where(done, pad_id, token)
-            if eos_id is not None:
-                done = done | (token == eos_id)
-            return (nxt, pos + 1, cache, done), out
-
-        keys = jax.random.split(key, steps)
-        (_, _, _, _), toks = jax.lax.scan(
-            step, (first, jnp.int32(t), cache, done0), keys)
-        return jnp.swapaxes(toks, 0, 1)
-
-    return run(params, prompt, key)
+def tp_generate(cfg: MoeConfig, params, prompt, h, mesh: Mesh, **kw):
+    """Sharded MoE generation: one shard_map dispatch (serving_tp)."""
+    _check(cfg, mesh, kw.get("axis", "tp"))
+    return _stp.tp_generate(cfg, params, prompt, h, mesh,
+                            specs_fn=param_specs, mlp_factory=_moe_mlp_tp,
+                            **kw)

@@ -114,49 +114,61 @@ def _run_blocks(scfg, params, x, caches, start_pos, h, method, quantized,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
                                              "max_len", "quantized",
-                                             "method"))
+                                             "method", "specs_fn",
+                                             "mlp_factory"))
 def tp_prefill(cfg: ModelConfig, params, tokens, h, mesh: Mesh, *,
                max_len: int, quantized: bool = True,
-               method: str = "quest", axis: str = "tp"):
-    """Sharded prefill: tokens [B, T] -> (logits [B, vocab], sharded cache)."""
+               method: str = "quest", axis: str = "tp",
+               specs_fn=None, mlp_factory=None):
+    """Sharded prefill: tokens [B, T] -> (logits [B, vocab], sharded cache).
+
+    ``specs_fn(cfg, quantized, axis)`` / ``mlp_factory(cfg, axis)`` let
+    model families reuse these entry points with their own param tree
+    and MLP branch (models/moe_tp.py).
+    """
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
     b = tokens.shape[0]
+    specs = (specs_fn or param_specs)(cfg, quantized, axis)
+    mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg, quantized, axis), P(None, None)),
+        in_specs=(specs, P(None, None)),
         out_specs=(P(None, None), _cache_spec(cfg, axis)),
         check_rep=False)
     def run(p, toks):
         cache = init_cache(scfg, b, max_len)
         x = p["embed"][toks]
         x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
-                               axis)
+                               axis, mlp=mlp)
         return _logits(scfg, p, x[:, -1]), cache
 
     return run(params, tokens)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
-                                             "quantized", "method"))
+                                             "quantized", "method",
+                                             "specs_fn", "mlp_factory"))
 def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
                    mesh: Mesh, *, quantized: bool = True,
-                   method: str = "quest", axis: str = "tp"):
+                   method: str = "quest", axis: str = "tp",
+                   specs_fn=None, mlp_factory=None):
     """One sharded decode step: token [B] at traced position ``pos``."""
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
+    specs = (specs_fn or param_specs)(cfg, quantized, axis)
+    mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg, quantized, axis), _cache_spec(cfg, axis),
-                  P(None), P()),
+        in_specs=(specs, _cache_spec(cfg, axis), P(None), P()),
         out_specs=(P(None, None), _cache_spec(cfg, axis)),
         check_rep=False)
     def run(p, cache, tok, ps):
         x = p["embed"][tok][:, None]
         x, cache = _run_blocks(scfg, p, x, cache, ps, h, method, quantized,
-                               axis)
+                               axis, mlp=mlp)
         return _logits(scfg, p, x[:, 0]), cache
 
     return run(params, cache, token, pos)
@@ -165,12 +177,14 @@ def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "steps",
                                              "max_len", "quantized", "method",
                                              "temperature", "top_k", "top_p",
-                                             "eos_id", "pad_id"))
+                                             "eos_id", "pad_id", "specs_fn",
+                                             "mlp_factory"))
 def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
                 steps: int, max_len: int, quantized: bool = True,
                 method: str = "quest", axis: str = "tp", key=None,
                 temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
-                eos_id: int | None = None, pad_id: int = 0):
+                eos_id: int | None = None, pad_id: int = 0,
+                specs_fn=None, mlp_factory=None):
     """Sharded generation: one shard_map dispatch for prefill + decode scan.
 
     Sampling uses the same key on every shard, so all shards pick the
@@ -181,6 +195,8 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
     b, t = prompt.shape
     if key is None:
         key = jax.random.PRNGKey(0)
+    specs = (specs_fn or param_specs)(cfg, quantized, axis)
+    mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     def pick(logits, k):
         return sample_logits(logits, k, temperature=temperature,
@@ -188,14 +204,14 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs(cfg, quantized, axis), P(None, None), P(None)),
+        in_specs=(specs, P(None, None), P(None)),
         out_specs=P(None, None),
         check_rep=False)
     def run(p, prompt, key):
         cache = init_cache(scfg, b, max_len)
         x = p["embed"][prompt]
         x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
-                               axis)
+                               axis, mlp=mlp)
         key, k0 = jax.random.split(key)
         first = pick(_logits(scfg, p, x[:, -1]), k0)
         done0 = jnp.zeros((b,), bool)
@@ -204,7 +220,7 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
             token, pos, cache, done = carry
             x = p["embed"][token][:, None]
             x, cache = _run_blocks(scfg, p, x, cache, pos, h, method,
-                                   quantized, axis)
+                                   quantized, axis, mlp=mlp)
             nxt = pick(_logits(scfg, p, x[:, 0]), k)
             out = jnp.where(done, pad_id, token)
             if eos_id is not None:
