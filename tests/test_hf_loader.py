@@ -111,3 +111,40 @@ def test_load_model_one_call(tmp_path):
     b = np.asarray(qout, np.float32).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.9, cos
+
+
+def test_load_model_llama_style_tied(tmp_path):
+    """Llama-style config (no qk_norm) with tied embeddings."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.models.hf_loader import load_model
+    from qutlass_tpu.models import tiny_config
+
+    cfg = tiny_config(qk_norm=False, tie_embeddings=True)
+    state = _fake_state(cfg)
+    del state["lm_head.weight"]
+    for i in range(cfg.num_layers):
+        del state[f"model.layers.{i}.self_attn.q_norm.weight"]
+        del state[f"model.layers.{i}.self_attn.k_norm.weight"]
+    safetensors.save_file(state, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "tie_word_embeddings": True,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    lcfg, params = load_model(str(tmp_path))
+    assert not lcfg.qk_norm and lcfg.tie_embeddings
+    assert "lm_head" not in params
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0,
+                              cfg.vocab_size)
+    out = forward(lcfg, params, toks)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
