@@ -136,3 +136,13 @@ def test_generate_sampled_and_eos_padding():
             j = int(hits[0])
             np.testing.assert_array_equal(out[b, : j + 1], greedy[b, : j + 1])
             assert (out[b, j + 1:] == -1).all()
+
+
+def test_sample_logits_topk_topp_combined():
+    from qutlass_tpu.models import sample_logits
+    # top_k then top_p: support is the intersection
+    lg = jnp.asarray([np.linspace(0, 6.3, 64)], jnp.float32)
+    for s in range(8):
+        tok = int(sample_logits(lg, jax.random.PRNGKey(s), temperature=1.0,
+                                top_k=8, top_p=0.5)[0])
+        assert tok >= 56   # inside top-8
