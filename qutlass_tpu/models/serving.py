@@ -31,7 +31,10 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int):
 
 def _attend(cfg, qh, kc, vc, pos_limit):
     """q [B, T, H, D] against cache k/v [B, L, KVH, D], masked to
-    positions < pos_limit + per-query causality offset."""
+    positions < pos_limit + per-query causality offset.
+
+    ``pos_limit``: scalar, or [B] for ragged batches (per-row decode
+    positions)."""
     b, t, _, _ = qh.shape
     l = kc.shape[1]
     rep = cfg.num_heads // cfg.num_kv_heads
@@ -39,10 +42,12 @@ def _attend(cfg, qh, kc, vc, pos_limit):
     vr = jnp.repeat(vc, rep, axis=2)
     scores = jnp.einsum("bthd,bshd->bhts", qh.astype(jnp.float32),
                         kr.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
-    qpos = pos_limit - t + jnp.arange(t)          # absolute pos of each query
+    pl = jnp.asarray(pos_limit)
+    qpos = pl[..., None] - t + jnp.arange(t)      # [t] or [B, t] abs pos
+    qpos = jnp.broadcast_to(qpos, (b, t))
     spos = jnp.arange(l)
-    mask = spos[None, :] <= qpos[:, None]          # [t, l]
-    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    mask = spos[None, None, :] <= qpos[:, :, None]  # [b, t, l]
+    scores = jnp.where(mask[:, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bshd->bthd", probs, vr.astype(jnp.float32))
     return out.astype(jnp.bfloat16)
@@ -76,14 +81,24 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
     if cfg.qk_norm:
         qh = _rms_norm(qh, layer["q_norm"], cfg.rms_eps)
         kh = _rms_norm(kh, layer["k_norm"], cfg.rms_eps)
-    positions = start_pos + jnp.arange(t)
+    sp = jnp.asarray(start_pos)
+    positions = sp[..., None] + jnp.arange(t)      # [t] or [B, t]
+    if sp.ndim == 0:
+        positions = positions.reshape(t)
     qh = _rope(qh, positions, cfg.rope_theta)
     kh = _rope(kh, positions, cfg.rope_theta)
 
-    kc = jax.lax.dynamic_update_slice(cache_l["k"], kh, (0, start_pos, 0, 0))
-    vc = jax.lax.dynamic_update_slice(cache_l["v"], vh, (0, start_pos, 0, 0))
+    if sp.ndim == 0:
+        kc = jax.lax.dynamic_update_slice(cache_l["k"], kh,
+                                          (0, start_pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(cache_l["v"], vh,
+                                          (0, start_pos, 0, 0))
+    else:
+        # ragged decode: per-row write position (t must be 1)
+        kc = cache_l["k"].at[jnp.arange(b), sp].set(kh[:, 0])
+        vc = cache_l["v"].at[jnp.arange(b), sp].set(vh[:, 0])
 
-    attn = _attend(cfg, qh, kc, vc, start_pos + t)
+    attn = _attend(cfg, qh, kc, vc, sp + t)
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
     x = x + reduce(_linear(attn, layer["o_proj"], h, method, quantized))
 
@@ -111,8 +126,16 @@ def _logits(cfg, params, x):
                    static_argnames=("cfg", "quantized", "method", "max_len",
                                     "mlp"))
 def prefill(cfg: ModelConfig, params, tokens, h=None, *, max_len: int,
-            quantized: bool = False, method: str = "quest", mlp=None):
-    """Prefill [B, T] prompt -> (last-position logits [B, vocab], cache)."""
+            quantized: bool = False, method: str = "quest", mlp=None,
+            lengths=None):
+    """Prefill [B, T] prompt -> (last-position logits [B, vocab], cache).
+
+    ``lengths`` [B] enables ragged batches: prompts are right-padded to
+    T and each row's logits are read at ``lengths[b] - 1``.  Causality
+    already keeps pad positions out of every valid query's attention;
+    the garbage cache slots past each row's length are overwritten by
+    subsequent decode steps before they ever become visible.
+    """
     b, t = tokens.shape
     cache = init_cache(cfg, b, max_len)
     x = params["embed"][tokens]
@@ -121,7 +144,8 @@ def prefill(cfg: ModelConfig, params, tokens, h=None, *, max_len: int,
         x, cl = _block(cfg, layer, x, cache_l, 0, h, method, quantized,
                        mlp=mlp)
         new_cache.append(cl)
-    return _logits(cfg, params, x[:, -1]), new_cache
+    last = x[:, -1] if lengths is None else x[jnp.arange(b), lengths - 1]
+    return _logits(cfg, params, last), new_cache
 
 
 @functools.partial(jax.jit,
@@ -130,7 +154,9 @@ def decode_step(cfg: ModelConfig, params, cache, token, pos, h=None, *,
                 quantized: bool = False, method: str = "quest", mlp=None):
     """One decode step: token [B] int32 at position ``pos`` (traced).
 
-    Returns (logits [B, vocab], updated cache).
+    ``pos`` is a scalar, or a [B] vector for ragged batches (each row
+    decodes at its own position).  Returns (logits [B, vocab], updated
+    cache).
     """
     x = params["embed"][token][:, None]            # [B, 1, D]
     new_cache = []
@@ -179,7 +205,7 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
              max_len: int, quantized: bool = False, method: str = "quest",
              key=None, temperature: float = 0.0, top_k: int = 0,
              top_p: float = 1.0, eos_id: int | None = None,
-             pad_id: int = 0, mlp=None):
+             pad_id: int = 0, mlp=None, lengths=None):
     """Autoregressive generation: prompt [B, T] -> tokens [B, steps].
 
     One compiled dispatch: prefill + ``steps`` decode iterations under
@@ -187,7 +213,9 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
     / ``top_k`` / ``top_p`` for sampled decoding, and ``eos_id`` to pad
     each sequence with ``pad_id`` after its first end-of-sequence
     token (shapes stay static — the reference serving stacks' stopping
-    semantics on a TPU-friendly fixed-length loop).
+    semantics on a TPU-friendly fixed-length loop).  ``lengths`` [B]
+    enables ragged prompts (right-padded to T; each row generates from
+    its own position; ``max_len`` must cover max(lengths) + steps).
     """
     b, t = prompt.shape
     if key is None:
@@ -198,10 +226,14 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
                              top_k=top_k, top_p=top_p)
 
     logits, cache = prefill(cfg, params, prompt, h, max_len=max_len,
-                            quantized=quantized, method=method, mlp=mlp)
+                            quantized=quantized, method=method, mlp=mlp,
+                            lengths=lengths)
     key, k0 = jax.random.split(key)
     first = pick(logits, k0)
     done0 = jnp.zeros((b,), bool)
+    # scalar position for dense prompts (keeps the cache write a
+    # dynamic_update_slice); per-row vector only when ragged
+    pos0 = jnp.int32(t) if lengths is None else lengths.astype(jnp.int32)
 
     def step(carry, k):
         token, pos, cache, done = carry
@@ -215,6 +247,6 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
         return (nxt, pos + 1, cache, done), out
 
     keys = jax.random.split(key, steps)
-    (_, _, _, _), toks = jax.lax.scan(step, (first, jnp.int32(t), cache,
-                                             done0), keys)
+    (_, _, _, _), toks = jax.lax.scan(step, (first, pos0, cache, done0),
+                                      keys)
     return jnp.swapaxes(toks, 0, 1)               # [B, steps]

@@ -161,12 +161,18 @@ def _rms_norm(x, w, eps):
 
 
 def _rope(x, positions, theta):
-    """Rotary embedding over the last dim of [..., T, H, D]."""
+    """Rotary embedding over the last dim of [B, T, H, D].
+
+    ``positions``: [T] (shared across the batch) or [B, T] (per-row,
+    for ragged serving).
+    """
     d = x.shape[-1]
     inv = 1.0 / (theta ** (np.arange(0, d, 2) / d))
-    ang = positions[:, None].astype(jnp.float32) * inv[None, :]
-    cos = jnp.cos(ang)[None, :, None, :]
-    sin = jnp.sin(ang)[None, :, None, :]
+    ang = positions[..., None].astype(jnp.float32) * inv
+    if positions.ndim == 1:
+        ang = ang[None]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
                            axis=-1).astype(x.dtype)

@@ -146,3 +146,38 @@ def test_sample_logits_topk_topp_combined():
         tok = int(sample_logits(lg, jax.random.PRNGKey(s), temperature=1.0,
                                 top_k=8, top_p=0.5)[0])
         assert tok >= 56   # inside top-8
+
+
+def test_ragged_generate_matches_per_row():
+    """Ragged batch (right-padded + lengths) must produce, per row,
+    exactly the tokens of an unpadded single-row generate: every op is
+    row-independent, so the results are bit-equal."""
+    cfg, params, h = _setup(True)
+    rng = jax.random.PRNGKey(9)
+    p_long = jax.random.randint(rng, (1, 6), 0, cfg.vocab_size)
+    p_short = p_long[:, :3]
+    steps = 5
+
+    prompt = jnp.concatenate(
+        [p_long, jnp.concatenate([p_short, jnp.zeros((1, 3), jnp.int32)],
+                                 axis=1)], axis=0)     # [2, 6] right-padded
+    lengths = jnp.asarray([6, 3], jnp.int32)
+    ragged = np.asarray(generate(cfg, params, prompt, h, steps=steps,
+                                 max_len=16, quantized=True,
+                                 lengths=lengths))
+
+    for row, pr in ((0, p_long), (1, p_short)):
+        solo = np.asarray(generate(cfg, params, pr, h, steps=steps,
+                                   max_len=16, quantized=True))
+        np.testing.assert_array_equal(ragged[row], solo[0])
+
+
+def test_ragged_prefill_logits_match():
+    cfg, params, h = _setup(False)
+    toks = jax.random.randint(jax.random.PRNGKey(4), (1, 5), 0,
+                              cfg.vocab_size)
+    padded = jnp.concatenate([toks, jnp.zeros((1, 3), jnp.int32)], axis=1)
+    lg_r, _ = prefill(cfg, params, padded, h, max_len=16,
+                      lengths=jnp.asarray([5], jnp.int32))
+    lg_d, _ = prefill(cfg, params, toks, h, max_len=16)
+    np.testing.assert_array_equal(np.asarray(lg_r), np.asarray(lg_d))
