@@ -82,6 +82,12 @@ toks = generate(cfg, qparams, prompt, h, steps=8, max_len=32, quantized=True,
                 eos_id=7)
 print("sampled tokens:  ", np.asarray(toks)[0])
 
+# ragged batches: right-padded prompts + per-row lengths
+ragged = jnp.concatenate([prompt, jnp.zeros((2, 2), jnp.int32)], axis=1)
+toks = generate(cfg, qparams, ragged, h, steps=4, max_len=32, quantized=True,
+                lengths=jnp.asarray([8, 5], jnp.int32))
+print("ragged tokens:   ", np.asarray(toks).tolist())
+
 # MoE family has the same serving surface (models.moe.generate), and
 # examples/tp_serving.py shards all of this over a tensor-parallel mesh.
 
