@@ -183,6 +183,8 @@ def sample_logits(logits, key, *, temperature: float = 1.0, top_k: int = 0,
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits.astype(jnp.float32) / temperature
     if top_k and top_k > 0:
+        # clamp to vocab (vLLM/HF semantics; lax.top_k errors past it)
+        top_k = min(top_k, logits.shape[-1])
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p < 1.0:
@@ -197,16 +199,44 @@ def sample_logits(logits, key, *, temperature: float = 1.0, top_k: int = 0,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
+             max_len: int, lengths=None, **kw):
+    """Autoregressive generation: prompt [B, T] -> tokens [B, steps].
+
+    Host-side validation wrapper around the jitted loop: the KV cache
+    writes use scatter semantics whose out-of-bounds stores are silently
+    dropped, so an undersized ``max_len`` would return wrong tokens
+    instead of failing.  Checked here while shapes are still concrete.
+    """
+    t = prompt.shape[1]
+    if lengths is None:
+        if t + steps > max_len:
+            raise ValueError(
+                f"max_len={max_len} < prompt_len({t}) + steps({steps}): "
+                "the KV cache cannot hold the generated positions")
+    else:
+        try:                       # concrete at top-level dispatch
+            max_prompt = int(np.max(np.asarray(lengths)))
+        except Exception:          # traced (called under an outer jit)
+            max_prompt = None
+        if max_prompt is not None and max_prompt + steps > max_len:
+            raise ValueError(
+                f"max_len={max_len} < max(lengths)({max_prompt}) + "
+                f"steps({steps}): ragged cache writes would be dropped")
+    return _generate(cfg, params, prompt, h, steps=steps, max_len=max_len,
+                     lengths=lengths, **kw)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "steps", "quantized", "method",
                                     "max_len", "temperature", "top_k",
                                     "top_p", "eos_id", "pad_id", "mlp"))
-def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
-             max_len: int, quantized: bool = False, method: str = "quest",
-             key=None, temperature: float = 0.0, top_k: int = 0,
-             top_p: float = 1.0, eos_id: int | None = None,
-             pad_id: int = 0, mlp=None, lengths=None):
-    """Autoregressive generation: prompt [B, T] -> tokens [B, steps].
+def _generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
+              max_len: int, quantized: bool = False, method: str = "quest",
+              key=None, temperature: float = 0.0, top_k: int = 0,
+              top_p: float = 1.0, eos_id: int | None = None,
+              pad_id: int = 0, mlp=None, lengths=None):
+    """Jitted generation loop: prompt [B, T] -> tokens [B, steps].
 
     One compiled dispatch: prefill + ``steps`` decode iterations under
     ``lax.scan``.  Greedy by default; pass ``key`` plus ``temperature``

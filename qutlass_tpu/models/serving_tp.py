@@ -27,7 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from qutlass_tpu.parallel.compat import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .serving import _block, _logits, init_cache, sample_logits

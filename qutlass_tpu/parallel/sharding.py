@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from qutlass_tpu.parallel.compat import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import qutlass_tpu as q

@@ -28,7 +28,7 @@ def test_quantize_row_sharded_matches_single():
     ref_q, ref_s = q.fusedQuantizeMx(x, h, method="quest")
 
     xs = jax.device_put(x, NamedSharding(mesh, P("dp", None)))
-    from jax.experimental.shard_map import shard_map
+    from qutlass_tpu.parallel.compat import shard_map
     from functools import partial
 
     @partial(shard_map, mesh=mesh, in_specs=(P("dp", None),),
@@ -67,7 +67,7 @@ def test_tp_linear_matches_single_device():
 def test_kshard_gemm_psum():
     """K-sharded GEMM: local partial dots + psum reproduce the full GEMM."""
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+    from qutlass_tpu.parallel.compat import shard_map
 
     rng = np.random.default_rng(0)
     mesh = make_mesh({"k": 8})

@@ -9,7 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.experimental.shard_map import shard_map
+from qutlass_tpu.parallel.compat import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from qutlass_tpu.nn import quartet_linear
