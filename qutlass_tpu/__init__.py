@@ -92,9 +92,19 @@ def _kernels():
     return _PALLAS_MOD
 
 
-def _route(shape_ok: bool):
-    """Return the Pallas module when it should handle this call, else None."""
+def _route(shape_ok: bool, shape=(), constraint: str = "K % 128 == 0"):
+    """Return the Pallas module when it should handle this call, else None.
+
+    An unsupported shape under ``backend=auto`` is a silent perf cliff
+    (the XLA emulation graph runs at a fraction of kernel speed), so it
+    is recorded — and warned about under ``QUTLASS_TPU_DEBUG=1`` — via
+    :func:`dispatch.note_fallback`, tagged with the public op name.
+    """
     if not dispatch.use_pallas(shape_ok):
+        if not shape_ok and dispatch.get_backend() == "auto":
+            import sys as _sys
+            dispatch.note_fallback(_sys._getframe(1).f_code.co_name,
+                                   shape, constraint)
         return None
     return _kernels()
 
@@ -124,7 +134,7 @@ def fusedQuantizeMx(a: jax.Array, h: jax.Array, *, method: str = "quest",
     k = a.shape[-1]
     rot = _val.check_rotation(h, k)
     _val.check_group_dim("fusedQuantizeMx", k, 32)
-    kn = _route(k % 128 == 0)
+    kn = _route(k % 128 == 0, a.shape)
     impl = kn.fused_quantize_mx if kn else _emu.fused_quantize_mx
     return impl(a, h, rot_size=rot, method=method, return_mask=return_mask,
                 layout=layout)
@@ -144,7 +154,7 @@ def fusedQuantizeNv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
     k = a.shape[-1]
     rot = _val.check_rotation(h, k)
     _val.check_group_dim("fusedQuantizeNv", k, 16)
-    kn = _route(k % 128 == 0)
+    kn = _route(k % 128 == 0, a.shape)
     impl = kn.fused_quantize_nv if kn else _emu.fused_quantize_nv
     return impl(a, h, global_scale, rot_size=rot, method=method,
                 layout=layout)
@@ -169,12 +179,13 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
     a_sf = _norm_scales(a_sf, m, k // 32)
     b_sf = _norm_scales(b_sf, n, k // 32)
     a, b = _as_bytes(a), _as_bytes(b)
-    kn = None if backend == "emulation" else _route(k % 128 == 0)
+    kn = None if backend == "emulation" else _route(k % 128 == 0, a.shape)
     impl = kn.matmul_mxf4_bf16_tn if kn else _emu.matmul_mxf4_bf16_tn
     return impl(a, b, a_sf, b_sf, alpha)
 
 
-def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha,
+                            out_dtype=jnp.bfloat16):
     """K-major MXFP4 GEMM — zero layout transforms on TPU.
 
     Operands come from ``fusedQuantizeMx(..., layout="kmajor")``:
@@ -185,7 +196,7 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     kn = _route(k % 128 == 0)
     impl = kn.matmul_mxf4_bf16_kmajor if kn else _emu.matmul_mxf4_bf16_kmajor
     return impl(_as_bytes(at), _as_bytes(bt), _as_bytes(a_sft),
-                _as_bytes(b_sft), alpha)
+                _as_bytes(b_sft), alpha, out_dtype=out_dtype)
 
 
 def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
@@ -234,19 +245,20 @@ def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha, backend: str | None = None):
     a_sf = _norm_scales(a_sf, m, k // 16)
     b_sf = _norm_scales(b_sf, n, k // 16)
     a, b = _as_bytes(a), _as_bytes(b)
-    kn = None if backend == "emulation" else _route(k % 128 == 0)
+    kn = None if backend == "emulation" else _route(k % 128 == 0, a.shape)
     impl = kn.matmul_nvf4_bf16_tn if kn else _emu.matmul_nvf4_bf16_tn
     return impl(a, b, a_sf, b_sf, alpha)
 
 
-def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha,
+                            out_dtype=jnp.bfloat16):
     """K-major NVFP4 GEMM — operands from
     ``fusedQuantizeNv(..., layout="kmajor")``."""
     k = at.shape[0] * 2
     kn = _route(k % 128 == 0)
     impl = kn.matmul_nvf4_bf16_kmajor if kn else _emu.matmul_nvf4_bf16_kmajor
     return impl(_as_bytes(at), _as_bytes(bt), _as_bytes(a_sft),
-                _as_bytes(b_sft), alpha)
+                _as_bytes(b_sft), alpha, out_dtype=out_dtype)
 
 
 def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha=None, *,

@@ -145,7 +145,7 @@ def _gemm_fp4_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc,
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _fin():
-        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
+        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(o_ref.dtype)
 
 
 def _gemm_fp8_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc):
@@ -162,10 +162,11 @@ def _gemm_fp8_kernel(alpha_ref, a_ref, b_ref, asf_ref, bsf_ref, o_ref, acc):
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _fin():
-        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(jnp.bfloat16)
+        o_ref[...] = (acc[...] * alpha_ref[0, 0]).astype(o_ref.dtype)
 
 
-def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
+def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack,
+              out_dtype=jnp.bfloat16):
     """Launch a K-major block-scaled GEMM.  ``gs_pack`` = scale rows per bk.
 
     Degenerate lane dims (m or n < 8) are zero-padded to 8 — Mosaic
@@ -201,7 +202,7 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, npd), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((mp, npd), out_dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -209,18 +210,18 @@ def _run_gemm(kernel, at, bt, asft, bsft, alpha, m, n, k, bk, gs_pack):
     return out if (mp, npd) == (m, n) else out[:m, :n]
 
 
-@jax.jit
-def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """Pallas W4A4 MXFP4 GEMM (reference gemm.cu:174-248 / gemm_ada.cu)."""
     m, n = a.shape[0], b.shape[0]
     k = a.shape[1] * 2
     _, _, bk = gemm_tiles(m, n, k, packed=True)
     return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
-                     a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 32)
+                     a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 32, out_dtype=out_dtype)
 
 
-@jax.jit
-def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha, out_dtype=jnp.bfloat16):
     """K-major fast path: operands as emitted by
     ``fused_quantize_mx(..., layout='kmajor')`` — zero layout transforms.
 
@@ -230,11 +231,11 @@ def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
     m, n = at.shape[1], bt.shape[1]
     _, _, bk = gemm_tiles(m, n, k, packed=True)
     return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="mx"),
-                     at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32)
+                     at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32, out_dtype=out_dtype)
 
 
-@jax.jit
-def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha, out_dtype=jnp.bfloat16):
     """K-major GEMM with UNPACKED activation codes (internal fast path).
 
     at: u8 e2m1 codes [K, M] (from fused_quantize_mx layout=
@@ -247,43 +248,43 @@ def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
     _, _, bk = gemm_tiles(m, n, k, packed=True)
     return _run_gemm(
         functools.partial(_gemm_fp4_kernel, fmt="mx", a_codes=True),
-        at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32)
+        at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 32, out_dtype=out_dtype)
 
 
-@jax.jit
-def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """Pallas NVFP4 GEMM (group 16, e4m3 scales; reference gemm.cu:250-326)."""
     m, n = a.shape[0], b.shape[0]
     k = a.shape[1] * 2
     _, _, bk = gemm_tiles(m, n, k, packed=True)
     return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
-                     a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 16)
+                     a.T, b.T, a_sf.T, b_sf.T, alpha, m, n, k, bk, bk // 16, out_dtype=out_dtype)
 
 
-@jax.jit
-def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha, out_dtype=jnp.bfloat16):
     """K-major NVFP4 fast path: at u8 [K/2, M], scales u8 [K/16, M]."""
     k = at.shape[0] * 2
     m, n = at.shape[1], bt.shape[1]
     _, _, bk = gemm_tiles(m, n, k, packed=True)
     return _run_gemm(functools.partial(_gemm_fp4_kernel, fmt="nv"),
-                     at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 16)
+                     at, bt, a_sft, b_sft, alpha, m, n, k, bk, bk // 16, out_dtype=out_dtype)
 
 
-@jax.jit
-def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """Pallas MXFP8 GEMM TN (reference gemm.cu:328-386)."""
     m, n, k = a.shape[0], b.shape[0], a.shape[1]
     _, _, bk = gemm_tiles(m, n, k, packed=False)
     return _run_gemm(_gemm_fp8_kernel, a.T, b.T, a_sf.T, b_sf.T, alpha,
-                     m, n, k, bk, bk // 32)
+                     m, n, k, bk, bk // 32, out_dtype=out_dtype)
 
 
-@jax.jit
-def matmul_mxf8_bf16_nn(a, b, a_sf, b_sf, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf8_bf16_nn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """Pallas MXFP8 GEMM NN: ``a`` arrives K-major already (gemm.cu:388-434)."""
     k, m = a.shape
     n = b.shape[0]
     _, _, bk = gemm_tiles(m, n, k, packed=False)
     return _run_gemm(_gemm_fp8_kernel, a, b.T, a_sf.T, b_sf.T, alpha,
-                     m, n, k, bk, bk // 32)
+                     m, n, k, bk, bk // 32, out_dtype=out_dtype)

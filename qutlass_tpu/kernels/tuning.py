@@ -1,9 +1,12 @@
 """Tile-size selection tables.
 
 The reference keys CUTLASS tile shapes on problem M and compile-time
-arch (gemm.cu:193-244).  Here the table keys on the TPU generation
-(``jax.devices()[0].device_kind``) and problem shape; entries were tuned
-on v5e and are safe defaults elsewhere.
+arch (gemm.cu:193-244).  Here the tables key on problem shape and the
+TPU generation (``jax.devices()[0].device_kind``): tile *shapes* were
+tuned on v5e; the per-kernel VMEM budgets they must respect come from
+:func:`vmem_budgets`, which scales with the generation's VMEM size.
+Unknown generations get the v5e budgets — correct (if conservative)
+anywhere with at least v5e's VMEM.
 """
 from __future__ import annotations
 
@@ -20,6 +23,31 @@ def device_kind() -> str:
         return jax.devices()[0].device_kind
     except Exception:  # pragma: no cover
         return "cpu"
+
+
+# Per-kernel working-set budgets (bytes): (accumulator stack cap,
+# total tile cap).  v5e values are MEASURED sweep winners (exp_gemmtiles*,
+# exp_quanttiles); v5p / v6e have ~2x the v5e VMEM per core, so their
+# caps scale accordingly — tile shapes stay the v5e winners until swept
+# on real hardware, the caps only bound what is *legal* to request.
+_VMEM_BUDGETS = {
+    "TPU v5 lite":  (5_400_000, 9_000_000),
+    "TPU v5e":      (5_400_000, 9_000_000),
+    "TPU v5":       (10_800_000, 18_000_000),   # v5p
+    "TPU v5p":      (10_800_000, 18_000_000),
+    "TPU v6 lite":  (10_800_000, 18_000_000),   # v6e (Trillium)
+    "TPU v6e":      (10_800_000, 18_000_000),
+    "TPU v4":       (5_400_000, 9_000_000),
+}
+
+_DEFAULT_BUDGET = (5_400_000, 9_000_000)
+
+
+def vmem_budgets(kind: str | None = None) -> tuple[int, int]:
+    """(accumulator cap, total tile cap) in bytes for ``kind``
+    (defaults to the active device's kind)."""
+    return _VMEM_BUDGETS.get(kind if kind is not None else device_kind(),
+                             _DEFAULT_BUDGET)
 
 
 def quantize_tiles(rows: int, k: int) -> tuple[int, int]:
@@ -44,7 +72,8 @@ def quantize_tiles(rows: int, k: int) -> tuple[int, int]:
     return bm, bk
 
 
-def fused_linear_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:
+def fused_linear_tiles(m: int, n: int, k: int,
+                       kind: str | None = None) -> tuple[int, int, int]:
     """(bm, bn, bk) for the single-kernel quantize+GEMM linear (v2).
 
     v2 keeps one f32 accumulator slot per N-block alive across the
@@ -53,23 +82,26 @@ def fused_linear_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:
     capped by n.  Production regime is decode / small prefill
     (m <= ~64); larger m should use the composed pipeline.
     """
+    acc_cap, tile_cap = vmem_budgets(kind)
     # accumulator stack: bm * n * 4 bytes total regardless of bn
-    bm = min(m, 256, max(8, (5_400_000 // (4 * n)) // 8 * 8))
+    bm = min(m, 256, max(8, (acc_cap // (4 * n)) // 8 * 8))
     # mirror the GEMM's measured-best shape: wide N, shallow K
-    if n * bm * 4 <= 5_400_000:
+    if n * bm * 4 <= acc_cap:
         bn = n
     elif n % 128 == 0:
-        bn = largest_divisor_multiple(n, 128, max(128, 5_400_000 // (4 * bm)))
+        bn = largest_divisor_multiple(n, 128, max(128, acc_cap // (4 * bm)))
     else:
         bn = n
     bk = 256 if k % 256 == 0 else k
     # decoded weight tile + quantize intermediates
-    while bn > 128 and bn % 2 == 0 and bk * (6 * bm + 4 * bn) > 6_000_000:
+    while (bn > 128 and bn % 2 == 0
+           and bk * (6 * bm + 4 * bn) > tile_cap * 2 // 3):
         bn //= 2
     return bm, bn, bk
 
 
-def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
+def gemm_tiles(m: int, n: int, k: int, packed: bool,
+               kind: str | None = None) -> tuple[int, int, int]:
     """(bm, bn, bk) for the block-scaled GEMMs.
 
     Small-M (decode) shapes take narrow M tiles — the role the
@@ -86,7 +118,7 @@ def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
     # exp_m256, exp_smallm3).  Block lane dims must be 128-divisible
     # or == the array dim; bk % 256 == 0 (or == K) keeps the scale
     # block's sublane dim legal.
-    acc_cap = 5_400_000
+    acc_cap, tile_cap = vmem_budgets(kind)
     bm = m if m <= 256 else 256
     if n * bm * 4 <= acc_cap:
         bn = n
@@ -98,6 +130,6 @@ def gemm_tiles(m: int, n: int, k: int, packed: bool) -> tuple[int, int, int]:
     # VMEM guard: decoded bf16 tiles + accumulator (covers bk == K
     # fallbacks and huge-N cases)
     while (bn > 128 and bn % 2 == 0
-           and bk * (bm + bn) * 2 + bm * bn * 4 > 9_000_000):
+           and bk * (bm + bn) * 2 + bm * bn * 4 > tile_cap):
         bn //= 2
     return bm, bn, bk

@@ -69,8 +69,13 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
     (used by the MoE family, models/moe.py).
     """
     b, t, _ = x.shape
+    # TP: the reduced projections run in fp32 so shard partials cross
+    # the psum unrounded — one bf16 rounding at the end, like a single
+    # device (near-bitwise TP/single-device token equality)
+    red_dt = None if reduce is None else jnp.float32
     if reduce is None:
         reduce = lambda y: y
+    red = lambda y: reduce(y).astype(x.dtype)
     xin = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
     qh = _linear(xin, layer["q_proj"], h, method, quantized)
     kh = _linear(xin, layer["k_proj"], h, method, quantized)
@@ -100,7 +105,8 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
 
     attn = _attend(cfg, qh, kc, vc, sp + t)
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
-    x = x + reduce(_linear(attn, layer["o_proj"], h, method, quantized))
+    x = x + red(_linear(attn, layer["o_proj"], h, method, quantized,
+                        out_dtype=red_dt))
 
     xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
     if mlp is not None:
@@ -110,8 +116,9 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
         up = _linear(xin, layer["up_proj"], h, method, quantized)
         act = (jax.nn.silu(gate.astype(jnp.float32))
                * up.astype(jnp.float32)).astype(x.dtype)
-        branch = _linear(act, layer["down_proj"], h, method, quantized)
-    x = x + reduce(branch)
+        branch = _linear(act, layer["down_proj"], h, method, quantized,
+                         out_dtype=red_dt)
+    x = x + red(branch)
     return x, {"k": kc, "v": vc}
 
 

@@ -178,12 +178,19 @@ def _rope(x, positions, theta):
                            axis=-1).astype(x.dtype)
 
 
-def _linear(x, w, h, method, quantized: bool):
-    """Apply a (possibly quantized) linear to [..., K]."""
+def _linear(x, w, h, method, quantized: bool, out_dtype=None):
+    """Apply a (possibly quantized) linear to [..., K].
+
+    ``out_dtype`` (default: x.dtype) — tensor-parallel callers request
+    fp32 so shard partial sums cross the psum unrounded and the result
+    matches single-device execution near-bitwise (one bf16 rounding at
+    the end instead of one per shard).
+    """
+    od = out_dtype or x.dtype
     if not quantized:
         return jax.lax.dot_general(
             x, w, (((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            preferred_element_type=jnp.float32).astype(od)
     wqt, wst = w["wqt"], w["wst"]
     k, n = wqt.shape[0] * 2, wqt.shape[1]
     x2 = x.reshape(-1, k)
@@ -195,14 +202,16 @@ def _linear(x, w, h, method, quantized: bool):
         xqt, xst = q.fusedQuantizeNv(x2, h, gsx, method="abs_max",
                                      layout="kmajor")
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
-        y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha)
+        y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
+                                      out_dtype=od)
         return y.reshape(*x.shape[:-1], n)
     # v5e: composed kmajor quantize + GEMM wins at every M (the
     # unpacked-codes layout measured neutral: the 2x activation bytes
     # cost what the skipped nibble pack saves)
     xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
     y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
-                                  jnp.ones((1,), jnp.float32))
+                                  jnp.ones((1,), jnp.float32),
+                                  out_dtype=od)
     return y.reshape(*x.shape[:-1], n)
 
 

@@ -52,3 +52,30 @@ def device_kind() -> str:
         return jax.devices()[0].device_kind
     except Exception:
         return "cpu"
+
+
+# --------------------------------------------------------------- debugging
+# Silent emulation fallbacks are a perf cliff (an M=250 batch quietly
+# runs the XLA emulation graph at a fraction of Pallas speed).  With
+# QUTLASS_TPU_DEBUG=1 every on-TPU fallback emits a warning naming the
+# op, the offending shape, and the constraint; the counter is always on.
+
+_DEBUG = os.environ.get("QUTLASS_TPU_DEBUG", "") not in ("", "0")
+fallback_counts: dict = {}
+
+
+def set_debug(enabled: bool) -> None:
+    global _DEBUG
+    _DEBUG = bool(enabled)
+
+
+def note_fallback(op: str, shape, constraint: str) -> None:
+    """Record (and under QUTLASS_TPU_DEBUG, warn about) an emulation
+    fallback taken on the TPU backend for an unsupported shape."""
+    fallback_counts[op] = fallback_counts.get(op, 0) + 1
+    if _DEBUG and (on_tpu() or _BACKEND == "pallas"):
+        import warnings
+        warnings.warn(
+            f"qutlass_tpu: {op}{tuple(shape)} falls back to XLA emulation "
+            f"(needs {constraint}) — expect reduced throughput",
+            stacklevel=3)

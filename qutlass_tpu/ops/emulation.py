@@ -167,8 +167,8 @@ def _dequant_fp8(data: jax.Array, scale_bytes: jax.Array, gs: int = 32) -> jax.A
     return C.e4m3_decode_scaled_bf16(d, sexp)
 
 
-@jax.jit
-def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
+@partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """W4A4 block-scaled GEMM: out = (dq(a) @ dq(b)^T) * alpha, bf16 out.
 
     a/b: packed u8 [M, K/2] / [N, K/2]; a_sf/b_sf: e8m0 bytes [M, K/32] /
@@ -179,20 +179,22 @@ def matmul_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     bv = _dequant_fp4(b, b_sf, 32)
     out = jax.lax.dot_general(av, bv, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(jnp.bfloat16)
+    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(out_dtype)
 
 
-@jax.jit
-def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+@partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha, out_dtype=jnp.bfloat16):
     """K-major variant (operands from layout='kmajor' quantization)."""
-    return matmul_mxf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha)
+    return matmul_mxf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha,
+                               out_dtype=out_dtype)
 
 
-@jax.jit
-def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
+@partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha, out_dtype=jnp.bfloat16):
     """Unpacked-activation-codes variant (layout='kmajor_codes')."""
     a = _pack_codes(at.T.astype(jnp.int32))
-    return matmul_mxf4_bf16_tn(a, bt.T, a_sft.T, b_sft.T, alpha)
+    return matmul_mxf4_bf16_tn(a, bt.T, a_sft.T, b_sft.T, alpha,
+                               out_dtype=out_dtype)
 
 
 @partial(jax.jit, static_argnames=("rot_size", "method"))
@@ -212,10 +214,11 @@ def fused_linear_mxf4(x, wqt, wst, h, alpha, *, rot_size: int,
     return matmul_mxf4_bf16_kmajor(xq, wqt, xs, wst, al)
 
 
-@jax.jit
-def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha):
+@partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_nvf4_bf16_kmajor(at, bt, a_sft, b_sft, alpha, out_dtype=jnp.bfloat16):
     """K-major NVFP4 GEMM (operands from layout='kmajor' quantization)."""
-    return matmul_nvf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha)
+    return matmul_nvf4_bf16_tn(at.T, bt.T, a_sft.T, b_sft.T, alpha,
+                               out_dtype=out_dtype)
 
 
 @partial(jax.jit, static_argnames=("rot_size", "method"))
@@ -233,8 +236,8 @@ def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha, *, rot_size: int,
     return matmul_nvf4_bf16_kmajor(xq, wqt, xs, wst, alpha)
 
 
-@jax.jit
-def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
+@partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """NVFP4 GEMM (group 16, e4m3 scales). Reference: gemm.cu:250-326."""
     codes_a = _unpack_codes(a)
     codes_b = _unpack_codes(b)
@@ -246,21 +249,21 @@ def matmul_nvf4_bf16_tn(a, b, a_sf, b_sf, alpha):
     bv = bv.reshape(b.shape[0], -1).astype(jnp.float32)
     out = jax.lax.dot_general(av, bv, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(jnp.bfloat16)
+    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(out_dtype)
 
 
-@jax.jit
-def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha):
+@partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """MXFP8 GEMM, TN: a [M, K] e4m3 bytes, b [N, K]. gemm.cu:328-386."""
     av = _dequant_fp8(a, a_sf)
     bv = _dequant_fp8(b, b_sf)
     out = jax.lax.dot_general(av, bv, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(jnp.bfloat16)
+    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(out_dtype)
 
 
-@jax.jit
-def matmul_mxf8_bf16_nn(a, b, a_sf, b_sf, alpha):
+@partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf8_bf16_nn(a, b, a_sf, b_sf, alpha, out_dtype=jnp.bfloat16):
     """MXFP8 GEMM, NN: a stored [K, M] (column-major logical [M, K]).
 
     a_sf is [M, K/32] row-major for the *logical* A.  Used by the QAT
@@ -271,7 +274,7 @@ def matmul_mxf8_bf16_nn(a, b, a_sf, b_sf, alpha):
     bv = _dequant_fp8(b, b_sf)
     out = jax.lax.dot_general(av, bv, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(jnp.bfloat16)
+    return (out * jnp.asarray(alpha, jnp.float32).reshape(())).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

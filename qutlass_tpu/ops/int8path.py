@@ -1,0 +1,138 @@
+"""Int8-MXU evaluator for MXFP4 GEMMs — the large-M fast path.
+
+The TPU has no fp4 tensor core; the bf16-decode Pallas GEMM therefore
+caps at bf16 peak (~197 TF/s on v5e), losing the reference's large-M
+headline.  The v5e int8 MXU runs at ~2x bf16 peak, and MXFP4 maps onto
+it exactly in the common case:
+
+  e2m1 value  v = m * 2^(se_g - 1),  m in {0,..,+-12}, se_g the group's
+  unbiased e8m0 exponent.  Per row take E = max_g se_g and the deficit
+  d_g = E - se_g.  With int8 range +-127 and |m| <= 12 there are 3 bits
+  of shift headroom:
+
+      a'[k] = m << (3 - d_g)            (EXACT while d_g <= 3)
+            = rtne(m / 2^(d_g-3))       (bounded rounding otherwise)
+      v     = a' * 2^(E - 4)
+
+  so one whole-K int8 contraction plus a rank-1 fp32 fixup evaluates
+  the GEMM:
+
+      C = (a' @ b'^T)_int32 * 2^(Ea-4)[m] * 2^(Eb-4)[n] * alpha
+
+Exactness contract (docs/NUMERICS.md): bit-identical to the decode GEMM
+whenever every row's group-exponent spread is <= 3 — which holds for
+the rotated, QuEST/abs-max-quantized tensors this library itself
+produces (measured: Gaussian rows spread 0-2 binades; see
+benchmarks/exp_int8_accuracy.py).  :func:`encode_int8` returns each
+tensor's max deficit so callers/loaders can verify statically; rows
+beyond the budget get absolutely-bounded rounding (|err| <= 2^(E-5)
+per element) instead of failure.
+
+Accumulator safety: |a'| <= 96 so |sum| <= K * 9216 — int32-safe to
+K = 233k, far past any model geometry.
+
+Measured (v5e, M=2048 N=K=5120): 351 TF/s vs 192 bf16 — the rank-1
+epilogue fuses into the XLA dot for free (benchmarks/exp_int8b.py).
+
+Reference counterpart: the fp4 tensor-core GEMMs (gemm.cu:174-248);
+this module is their speed-of-light mapping onto the TPU int8 MXU, not
+a translation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# value-times-two table for e2m1 magnitude codes 0..7
+_M2 = jnp.asarray([0, 1, 2, 3, 4, 6, 8, 12], jnp.int32)
+
+
+def _codes_to_m2(codes):
+    """e2m1 codes u8 -> signed integer 2*value, int32."""
+    c = codes.astype(jnp.int32)
+    mag = _M2[c & 7]
+    return jnp.where(c >= 8, -mag, mag)
+
+
+def _unpack(packed):
+    """packed u8 [..., K/2] -> codes u8 [..., K] (low nibble first)."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("kmajor",))
+def encode_int8(codes_or_packed, scale_bytes, *, kmajor: bool = False):
+    """MXFP4 -> per-row-exponent int8 operand.
+
+    Row-major: codes/packed [R, K or K/2], scales [R, K/32] ->
+    (a' int8 [R, K], row_scale f32 [R] = 2^(E-4), max_deficit int32 []).
+    ``kmajor=True`` takes the quantizer's K-major layout (codes [K, R]
+    or packed [K/2, R], scales [K/32, R]) and returns a' [K, R].
+    """
+    if kmajor:
+        packed_k, rows = codes_or_packed.shape
+        k = scale_bytes.shape[0] * 32
+        codes = (codes_or_packed if packed_k == k
+                 else _unpack(codes_or_packed.T).T.reshape(k, rows))
+        m = _codes_to_m2(codes)                       # [K, R]
+        se = scale_bytes.astype(jnp.int32) - 127      # [K/32, R]
+        e = jnp.max(se, axis=0)                       # [R]
+        d = e[None, :] - se                           # [K/32, R]
+        dk = jnp.repeat(d, 32, axis=0)
+    else:
+        k = scale_bytes.shape[-1] * 32
+        codes = (codes_or_packed if codes_or_packed.shape[-1] == k
+                 else _unpack(codes_or_packed))
+        m = _codes_to_m2(codes)
+        se = scale_bytes.astype(jnp.int32) - 127
+        e = jnp.max(se, axis=-1)
+        d = e[..., None] - se
+        dk = jnp.repeat(d, 32, axis=-1)
+    exact = m << jnp.clip(3 - dk, 0, 3)
+    rounded = jnp.round(m.astype(jnp.float32)
+                        * jnp.exp2(-(dk - 3).astype(jnp.float32))
+                        ).astype(jnp.int32)
+    a = jnp.where(dk <= 3, exact, rounded).astype(jnp.int8)
+    scale = jnp.exp2((e - 4).astype(jnp.float32))
+    return a, scale, jnp.max(d)
+
+
+@jax.jit
+def matmul_mxf4_bf16_int8(a_i8, b_i8, sa, sb, alpha):
+    """C = (a' @ b'^T) * sa[m] * sb[n] * alpha, bf16 out.
+
+    a_i8 [M, K] int8, b_i8 [N, K] int8 (both from :func:`encode_int8`),
+    sa [M] / sb [N] f32 row scales.  The int8 contraction runs on the
+    MXU at ~2x bf16 rate; XLA fuses the fp32 rank-1 epilogue.
+    """
+    o = jax.lax.dot_general(a_i8, b_i8, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    al = jnp.asarray(alpha, jnp.float32).reshape(())
+    return (o.astype(jnp.float32) * (sa[:, None] * al) * sb[None, :]
+            ).astype(jnp.bfloat16)
+
+
+@jax.jit
+def matmul_mxf4_bf16_int8_kmajor(at_i8, b_i8, sa, sb, alpha):
+    """K-major activation variant: at_i8 [K, M] (as the K-major
+    quantizer emits), b_i8 [N, K] weights."""
+    o = jax.lax.dot_general(at_i8, b_i8, (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    al = jnp.asarray(alpha, jnp.float32).reshape(())
+    return (o.astype(jnp.float32) * (sa[:, None] * al) * sb[None, :]
+            ).astype(jnp.bfloat16)
+
+
+def prepare_weight_int8(wqt, wst):
+    """One-time weight prep: K-major packed fp4 weight (wqt u8 [K/2, N],
+    wst u8 [K/32, N]) -> (w_i8 [N, K] int8, sb [N] f32, max_deficit).
+
+    ``max_deficit <= 3`` certifies the int8 evaluation of this weight is
+    bit-exact; loaders should check it once at load time (it is a host
+    decision — weights are static).
+    """
+    w_k, sb_row, dmax = encode_int8(wqt, wst, kmajor=True)
+    return w_k.T, sb_row, dmax

@@ -15,12 +15,14 @@ from ..kernels.gemm import (matmul_mxf4_bf16_kmajor,
                             matmul_nvf4_bf16_kmajor, matmul_nvf4_bf16_tn)
 from ..kernels.quantize import fused_quantize_mx, fused_quantize_nv
 from . import emulation as _emu
+from .dispatch import note_fallback
 
 
 def backward_t_bf16(x, h, *, rot_size: int = 32):
     """Pallas when N % 256 == 0 and K % 128 == 0; else XLA emulation."""
     n, k = x.shape[-2], x.shape[-1]
     if n % 256 != 0 or k % 128 != 0:
+        note_fallback("backward_t_bf16", x.shape, "N%256==0 and K%128==0")
         return _emu.backward_t_bf16(x, h, rot_size=rot_size)
     fn = lambda xx: _bwd.backward_t_bf16_2d(xx, h, rot_size=rot_size)
     if x.ndim == 2:
@@ -36,6 +38,7 @@ def backward_qt_bf16(x_e2m1, x_e8m0, h, alpha, *, rot_size: int = 32):
     m = x_e2m1.shape[-2]
     n = x_e2m1.shape[-1] * 2
     if m % 256 != 0 or n % 256 != 0:
+        note_fallback("backward_qt_bf16", x_e2m1.shape, "M%256==0 and N%256==0")
         return _emu.backward_qt_bf16(x_e2m1, x_e8m0, h, alpha,
                                      rot_size=rot_size)
     fn = lambda xq, xs: _bwd.backward_qt_bf16_2d(xq, xs, h, alpha,
@@ -52,6 +55,8 @@ def backward_qt_bf16(x_e2m1, x_e8m0, h, alpha, *, rot_size: int = 32):
 def backward_bf16_square_double_mxfp8(x):
     m, n = x.shape
     if m % 256 != 0 or n % 32 != 0 or n > 16384:
+        note_fallback("backward_bf16_square_double_mxfp8", x.shape,
+                      "M%256==0, N%32==0, N<=16384")
         return _emu.backward_bf16_square_double_mxfp8(x)
     return _bwd.backward_bf16_square_double_mxfp8_2d(x)
 
@@ -60,6 +65,8 @@ def mxfp4_transpose_mxfp8(x_fp4, scales):
     m = x_fp4.shape[0]
     n = x_fp4.shape[1] * 2
     if m % 256 != 0 or n % 256 != 0:
+        note_fallback("mxfp4_transpose_mxfp8", x_fp4.shape,
+                      "M%256==0 and N%256==0")
         return _emu.mxfp4_transpose_mxfp8(x_fp4, scales)
     return _bwd.mxfp4_transpose_mxfp8_2d(x_fp4, scales)
 
@@ -68,6 +75,8 @@ def backward_square_double_scaled(x):
     """Scaled-bf16 square-double quantization (QAT fast path)."""
     m, n = x.shape
     if m % 256 != 0 or n % 32 != 0 or n > 16384:
+        note_fallback("backward_square_double_scaled", x.shape,
+                      "M%256==0, N%32==0, N<=16384")
         return _emu.backward_square_double_scaled(x)
     return _bwd.backward_square_double_scaled_2d(x)
 
@@ -77,6 +86,8 @@ def mxfp4_transpose_scaled(x_fp4, scales):
     m = x_fp4.shape[0]
     n = x_fp4.shape[1] * 2
     if m % 256 != 0 or n % 256 != 0:
+        note_fallback("mxfp4_transpose_scaled", x_fp4.shape,
+                      "M%256==0 and N%256==0")
         return _emu.mxfp4_transpose_scaled(x_fp4, scales)
     return _bwd.mxfp4_transpose_scaled_2d(x_fp4, scales)
 
@@ -86,6 +97,8 @@ def mxfp4_transpose_scaled_kmajor(qt, st):
     k = qt.shape[0] * 2
     rows = qt.shape[1]
     if k % 256 != 0 or rows % 256 != 0:
+        note_fallback("mxfp4_transpose_scaled_kmajor", qt.shape,
+                      "K%256==0 and rows%256==0")
         return _emu.mxfp4_transpose_scaled_kmajor(qt, st)
     return _bwd.mxfp4_transpose_scaled_kmajor_2d(qt, st)
 

@@ -88,17 +88,30 @@ def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 5,
     # 5x spread: the tunnel's dispatch constant jitters by ~10 ms, so
     # the iteration delta must put well more device work than that
     # between the two loop lengths
+    # On the remote-TPU tunnel ``block_until_ready()`` does NOT block
+    # (measured: a 174 ms loop "completes" in 0.1 ms; only a host fetch
+    # of the value waits for execution).  Every timing below therefore
+    # fetches the (1,)-f32 result to the host — the fetch roundtrip is
+    # part of the constant the slope divides out.
+    def run(loop, d):
+        return float(np.asarray(loop(d, params))[0])
+
     loop1, loop5 = make_loop(iters), make_loop(5 * iters)
     d = jnp.zeros((1,), jnp.float32)
-    loop1(d, params).block_until_ready()
-    loop5(d, params).block_until_ready()
+    run(loop1, d)
+    run(loop5, d)
     t1 = t5 = np.inf
-    for _ in range(repeats):
+    for r in range(repeats):
+        # the runtime also caches executions by input value — every
+        # repetition must use a fresh dep value (the magnitude is
+        # irrelevant: chain_dep folds it below the operand's least value)
+        d = jnp.full((1,), 1.0 + r, jnp.float32)
         t0 = time.perf_counter()
-        loop1(d, params).block_until_ready()
+        run(loop1, d)
         t1 = min(t1, time.perf_counter() - t0)
+        d = jnp.full((1,), 101.0 + r, jnp.float32)
         t0 = time.perf_counter()
-        loop5(d, params).block_until_ready()
+        run(loop5, d)
         t5 = min(t5, time.perf_counter() - t0)
     return max(t5 - t1, 1e-9) / (4 * iters * chain)
 

@@ -1,0 +1,175 @@
+"""Differential fuzzing: random (shape, rot, method, layout, batch)
+draws across the quantizers, GEMMs and backward ops (VERDICT r1 #6).
+
+Three oracles, mirroring the reference tests' self-checking design
+(mxfp4_test.py:176-178):
+  * emulation vs fp64 golden — scales exact, dequantized values up to
+    the 1e-4 tie-break rate, GEMM bit-exact vs the fp64 dequantized
+    matmul;
+  * layout self-consistency — kmajor / kmajor_codes / rowmajor of the
+    same input must agree bitwise;
+  * Pallas-interpret vs emulation — bitwise, on a random subsample
+    (interpret mode is slow; the dense grid lives in
+    test_kernels_interpret.py).
+
+Shapes draw from a small pool so jit caching keeps the suite fast; data
+is fresh per draw.  Every case is seeded — failures reproduce.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qutlass_tpu as q
+from qutlass_tpu.formats import golden as G
+from qutlass_tpu.ops import emulation as E
+from helpers import bf16_hadamard, randn_bf16, to_np64
+
+ROWS_POOL = [8, 16, 33, 64, 96]
+K_POOL = [128, 256, 384, 512]
+ROTS = [32, 64, 128]
+
+
+def _draw_mx(rng):
+    rows = int(rng.choice(ROWS_POOL))
+    k = int(rng.choice(K_POOL))
+    rot = int(rng.choice([r for r in ROTS if k % r == 0]))
+    method = str(rng.choice(["quest", "abs_max"]))
+    batch = int(rng.choice([0, 2]))
+    return rows, k, rot, method, batch
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzz_quantize_mx_vs_golden(seed):
+    rng = np.random.default_rng(1000 + seed)
+    rows, k, rot, method, batch = _draw_mx(rng)
+    shape = (batch, rows, k) if batch else (rows, k)
+    x = randn_bf16(rng, *shape)
+    h = bf16_hadamard(rot)
+    ref = G.quantize_mx(to_np64(x), to_np64(h), rot, method)
+
+    e2m1, e8m0 = q.fusedQuantizeMx(x, h, method=method)
+    n_rows = x.size // k
+    scales = np.asarray(e8m0)[:n_rows, : k // 32].reshape(ref["e8m0"].shape)
+    np.testing.assert_array_equal(scales, ref["e8m0"])
+    alpha = 1.0 if method == "quest" else 3.0
+    dq = G.dq_fp4(np.asarray(e2m1), scales, 32, alpha)
+    assert (dq != ref["dq"]).mean() <= 1e-4, (rows, k, rot, method, batch)
+
+    # layout self-consistency (2-D only: kmajor is a 2-D layout)
+    if not batch:
+        kq, ks = q.fusedQuantizeMx(x, h, method=method, layout="kmajor")
+        np.testing.assert_array_equal(np.asarray(kq), np.asarray(e2m1).T)
+        np.testing.assert_array_equal(np.asarray(ks), scales.T)
+        cq, cs = q.fusedQuantizeMx(x, h, method=method, layout="kmajor_codes")
+        codes = np.asarray(cq)
+        repacked = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
+        np.testing.assert_array_equal(repacked, np.asarray(kq))
+        np.testing.assert_array_equal(np.asarray(cs), scales.T)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_quantize_mx_mask(seed):
+    rng = np.random.default_rng(2000 + seed)
+    rows, k, rot, _, _ = _draw_mx(rng)
+    x = randn_bf16(rng, rows, k)
+    h = bf16_hadamard(rot)
+    ref = G.quantize_mx(to_np64(x), to_np64(h), rot, "quest")
+    _, _, mask = q.fusedQuantizeMx(x, h, method="quest", return_mask=True)
+    got = G.unpack_mask(np.asarray(mask))[:, : k].reshape(ref["mask_bits"].shape)
+    # count bound, not rate: small draws make one fp32-vs-fp64 tie at
+    # the |q| = 6.0 boundary exceed a 1e-4 rate
+    assert (got != ref["mask_bits"]).sum() <= max(2, 1e-4 * got.size)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_quantize_nv_vs_golden(seed):
+    rng = np.random.default_rng(3000 + seed)
+    rows = int(rng.choice(ROWS_POOL))
+    k = int(rng.choice(K_POOL))
+    rot = int(rng.choice([r for r in ROTS if k % r == 0]))
+    method = str(rng.choice(["abs_max", "quest"]))
+    gs = float(rng.uniform(0.5, 8.0))
+    x = randn_bf16(rng, rows, k)
+    h = bf16_hadamard(rot)
+    ref = G.quantize_nv(to_np64(x), to_np64(h), rot, gs, method)
+    e2m1, e4m3 = q.fusedQuantizeNv(x, h, jnp.float32(gs), method=method)
+    sc = np.asarray(e4m3)[:rows, : k // 16].reshape(ref["e4m3"].shape)
+    np.testing.assert_array_equal(sc, ref["e4m3"])
+    vals = G.unpack_fp4(np.asarray(e2m1))
+    assert (vals != ref["values"]).mean() <= 1e-3, (rows, k, rot, method, gs)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_gemm_mx_bit_exact(seed):
+    """Emulation GEMM == bf16(fp64 dequantized matmul), random shapes."""
+    rng = np.random.default_rng(4000 + seed)
+    m = int(rng.choice([8, 24, 56, 96]))
+    n = int(rng.choice([8, 48, 96]))
+    k = int(rng.choice(K_POOL))
+    rot = int(rng.choice([r for r in ROTS if k % r == 0]))
+    method = str(rng.choice(["quest", "abs_max"]))
+    alpha = float(rng.choice([1.0, 0.5, 2.0]))
+    a, b = randn_bf16(rng, m, k), randn_bf16(rng, n, k)
+    h = bf16_hadamard(rot)
+    aq, asf = q.fusedQuantizeMx(a, h, method=method)
+    bq, bsf = q.fusedQuantizeMx(b, h, method=method)
+    out = q.matmul_mxf4_bf16_tn(aq, bq, asf, bsf,
+                                jnp.full((1,), alpha, jnp.float32))
+    adq = G.dq_fp4(np.asarray(aq), np.asarray(asf)[:m, : k // 32], 32, 1.0)
+    bdq = G.dq_fp4(np.asarray(bq), np.asarray(bsf)[:n, : k // 32], 32, 1.0)
+    ref = (alpha * adq @ bdq.T).astype(jnp.bfloat16.dtype)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_backward_t_vs_golden(seed):
+    rng = np.random.default_rng(5000 + seed)
+    # the backward quantizer rotates the TRANSPOSE, so rot must divide N
+    n = int(rng.choice([64, 128, 192]))
+    k = int(rng.choice([128, 256]))
+    rot = int(rng.choice([r for r in ROTS if n % r == 0]))
+    x = randn_bf16(rng, n, k)
+    h = bf16_hadamard(rot)
+    e2m1, e8m0 = q.backward_t_bf16(x, h)
+    ref = G.backward_quantize(np.swapaxes(to_np64(x), -2, -1), to_np64(h))
+    np.testing.assert_array_equal(np.asarray(e8m0), ref["e8m0"])
+    dq = G.dq_fp4(np.asarray(e2m1), np.asarray(e8m0), 32, 3.0)
+    assert (dq != ref["dq"]).mean() <= 1e-4
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_interpret_matches_emulation(seed):
+    """Random draws through the actual Pallas kernel bodies (interpret
+    mode) — bitwise equal to emulation."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret mode on CPU only")
+    from jax.experimental.pallas import tpu as pltpu
+    from qutlass_tpu.kernels import gemm as KG
+    from qutlass_tpu.kernels import quantize as KQ
+
+    rng = np.random.default_rng(6000 + seed)
+    m = int(rng.choice([16, 64, 128]))
+    n = int(rng.choice([16, 128]))
+    k = int(rng.choice([128, 256]))
+    rot = int(rng.choice([r for r in ROTS if k % r == 0]))
+    method = str(rng.choice(["quest", "abs_max"]))
+    a, b = randn_bf16(rng, m, k), randn_bf16(rng, n, k)
+    h = bf16_hadamard(rot)
+    one = jnp.ones((1,), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        aq, asf = KQ.fused_quantize_mx(a, h, rot_size=rot, method=method,
+                                       layout="kmajor")
+        bq, bsf = KQ.fused_quantize_mx(b, h, rot_size=rot, method=method,
+                                       layout="kmajor")
+        out_p = KG.matmul_mxf4_bf16_kmajor(aq, bq, asf, bsf, one)
+    eaq, easf = E.fused_quantize_mx(a, h, rot_size=rot, method=method,
+                                    layout="kmajor")
+    ebq, ebsf = E.fused_quantize_mx(b, h, rot_size=rot, method=method,
+                                    layout="kmajor")
+    np.testing.assert_array_equal(np.asarray(aq), np.asarray(eaq))
+    np.testing.assert_array_equal(np.asarray(asf), np.asarray(easf))
+    out_e = E.matmul_mxf4_bf16_kmajor(eaq, ebq, easf, ebsf, one)
+    np.testing.assert_array_equal(np.asarray(out_p, np.float32),
+                                  np.asarray(out_e, np.float32))

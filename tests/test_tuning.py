@@ -47,6 +47,30 @@ def test_fused_tiles_legal(m):
             assert bm * n * 4 <= 6_000_000 or bm == 8, (m, n, bm)
 
 
+KINDS = ["TPU v5 lite", "TPU v5p", "TPU v6 lite", "made-up-device"]
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_generation_keyed_budgets(kind):
+    """Tiles key on the TPU generation; unknown kinds get the v5e
+    (conservative) budgets.  Legality must hold for every generation."""
+    from qutlass_tpu.kernels.tuning import vmem_budgets
+    acc_cap, tile_cap = vmem_budgets(kind)
+    assert acc_cap >= 5_400_000 and tile_cap >= 9_000_000
+    for m in (16, 256, 2048):
+        for n, k in ((5120, 5120), (51200, 5120), (5120, 25600)):
+            bm, bn, bk = gemm_tiles(m, n, k, packed=True, kind=kind)
+            assert _lane_ok(bm, m) and _lane_ok(bn, n)
+            assert bk * (bm + bn) * 2 + bm * bn * 4 <= tile_cap * 4 // 3
+            fb = fused_linear_tiles(m, n, k, kind=kind)
+            assert _lane_ok(fb[1], n)
+    # bigger-VMEM generations may never pick SMALLER tiles than v5e
+    for m, n, k in ((2048, 51200, 5120), (2048, 5120, 25600)):
+        v5e = gemm_tiles(m, n, k, packed=True, kind="TPU v5 lite")
+        big = gemm_tiles(m, n, k, packed=True, kind=kind)
+        assert big[0] * big[1] >= v5e[0] * v5e[1], (kind, v5e, big)
+
+
 @pytest.mark.parametrize("rows", MS[:-1])
 def test_quantize_tiles_legal(rows):
     for k in NKS:
