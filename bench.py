@@ -1,21 +1,25 @@
 """Headline benchmark — MXFP4 W4A4 quantized linear vs bf16 on TPU.
 
-Mirrors the reference protocol (benchmarks/bench_mxfp4_sm120.py:85-178):
-all three Qwen3-32B layer geometries (5120x5120, 5120x51200,
-25600x5120), Hadamard-32 rotation, M swept across the reference's
-batch range {1..2048}; activation path = fusedQuantizeMx ->
-matmul_mxf4_bf16 with pre-quantized weights, TFLOP/s = 2*M*N*K/t.
+The FULL reference protocol (benchmarks/bench_mxfp4_sm120.py:90,161-178):
+both model tables (Qwen3-32B: 5120x5120, 5120x51200, 25600x5120;
+Llama-3.1-70B: 8192x8192, 8192x57344, 28672x8192), Hadamard size in
+{32, 64, 128}, M in {1,4,8,16,32,64,128,256,512,1024,2048}; activation
+path = fused quantize -> int8-MXU GEMM (ops/int8path.py — the
+production linear) with pre-prepared weights; TFLOP/s = 2*M*N*K/t.
+An NVFP4 headline line (decode-GEMM path) is appended.
 
 Prints ONE JSON line:
   metric      mxfp4_w4a4_linear_speedup_vs_bf16_geomean
   value       geometric-mean speedup of the quantized linear over the
-              bf16 linear across the geometry x M sweep
+              bf16 linear across the full grid
   vs_baseline same number (the reference's own headline is this ratio
               on its hardware; no absolute numbers are published —
               BASELINE.md)
-Per-shape details go to stderr.
+Per-shape details go to stderr.  QUTLASS_BENCH_FAST=1 trims to the
+had-32 grid (debug runs).
 """
 import json
+import os
 import sys
 import time
 
@@ -26,10 +30,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+MS = [1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]
+TABLES = {
+    "qwen3-32b": [(5120, 5120), (5120, 51200), (25600, 5120)],
+    "llama31-70b": [(8192, 8192), (8192, 57344), (28672, 8192)],
+}
+
+
 def main():
+    t_start = time.time()
     import jax
     import jax.numpy as jnp
-    from jax import lax
     import ml_dtypes
 
     sys.path.insert(0, "/root/repo")
@@ -39,7 +50,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    from qutlass_tpu.ops import dispatch
+    from qutlass_tpu.ops import dispatch, int8path as I8
 
     on_tpu = dispatch.on_tpu()
     if on_tpu:
@@ -52,77 +63,122 @@ def main():
 
     def bench_scan(op, params=None):
         if on_tpu:
-            return _benchmark(op, params=params)
+            return _benchmark(op, repeats=3, params=params)
         return _benchmark(op, iters=2, chain=2, repeats=1, params=params)
 
     rng = np.random.default_rng(0)
-    hm = np.array([[1.0]])
-    while hm.shape[0] < 32:
-        hm = np.block([[hm, hm], [hm, -hm]])
-    h = jnp.asarray(hm * 32 ** -0.5, jnp.bfloat16)
-    one = jnp.ones((1,), jnp.float32)
 
-    # Qwen3-32B layer geometries + M sweep (reference protocol).  The
-    # big geometries drop two mid-sweep M values to keep the whole
-    # bench under ~15 min of tunnel time (one winning and one losing M,
-    # so the geomean is within ~0.01 of the full 18-point sweep —
-    # benchmarks/results_mxfp4_qwen3-32b_had32.json has all 18).
+    def hadamard(n):
+        hm = np.array([[1.0]])
+        while hm.shape[0] < n:
+            hm = np.block([[hm, hm], [hm, -hm]])
+        return jnp.asarray(hm * n ** -0.5, jnp.bfloat16)
+
+    HS = {n: hadamard(n) for n in (32, 64, 128)}
+    one = jnp.ones((1,), jnp.float32)
+    fast = os.environ.get("QUTLASS_BENCH_FAST", "") not in ("", "0")
+
     if on_tpu:
-        GEOS = [(5120, 5120, 8, [1, 16, 64, 256, 1024, 2048]),
-                (5120, 51200, 4, [1, 16, 256, 2048]),
-                (25600, 5120, 4, [1, 16, 256, 2048])]
+        grid = []
+        for table, geos in TABLES.items():
+            for K, N in geos:
+                for had in ((32,) if fast else (32, 64, 128)):
+                    grid.append((table, K, N, had, MS))
+        nv_line = ("qwen3-32b", 5120, 5120, 32, [16, 256, 2048])
     else:
-        GEOS = [(1024, 1024, 2, [16, 64])]
+        grid = [("tiny", 1024, 1024, 32, [16, 64])]
+        nv_line = None
 
     speedups = []
-    for K, N, NW, MS in GEOS:
-        # NW distinct weights, cycled through the timing chain like real
-        # transformer layers — one weight re-used across the loop would
-        # let XLA keep it VMEM-resident, which multi-layer execution
-        # cannot (8 for the small geometry; the big ones exceed VMEM
-        # regardless)
-        wTs, wqts, wsts = [], [], []
-        for i in range(NW):
-            w = jnp.asarray((rng.standard_normal((N, K)) * 0.05
-                             ).astype(ml_dtypes.bfloat16))
-            wqt, wst = P.fused_quantize_mx(w, h, rot_size=32, method="quest",
-                                           layout="kmajor")
-            wTs.append(w.T)
-            wqts.append(wqt)
-            wsts.append(wst)
-        del w
+    by_m = {}
+    cur_weights = None  # (K, N) -> reuse across had sizes
+    for table, K, N, had, ms in grid:
+        nw = 8 if N * K <= 5120 * 5120 else 4
+        if cur_weights and cur_weights[0] == (K, N):
+            _, wTs, wi8s, wsbs = cur_weights
+        else:
+            wTs, wi8s, wsbs = [], [], []
+            for i in range(nw):
+                w = (jax.random.normal(jax.random.PRNGKey(i), (N, K),
+                                       jnp.bfloat16) * 0.05)
+                wqt, wst = P.fused_quantize_mx(w, HS[32], rot_size=32,
+                                               method="quest", layout="kmajor")
+                wi8, wsb, _ = I8.prepare_weight_int8(wqt, wst)
+                wTs.append(w.T)
+                wi8s.append(wi8)
+                wsbs.append(wsb)
+            del w
+            cur_weights = ((K, N), wTs, wi8s, wsbs)
+        h = HS[had]
 
-        # weights travel as jit ARGUMENTS (closure-captured arrays are
-        # embedded as HLO constants — the remote-compile tunnel rejects
-        # requests over ~100 MB)
-        qparams = {"wqt": wqts, "wst": wsts}
+        qparams = {"wi8": wi8s, "wsb": wsbs}
         bparams = {"wT": wTs}
+        tbs = {}
 
-        for M in MS:
-            a = jnp.asarray((rng.standard_normal((M, K))
-                             ).astype(ml_dtypes.bfloat16))
+        for M in ms:
+            a = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.bfloat16)
 
             def quant_linear(d, j, p):
                 x = chain_dep(a, d)
-                xqt, xst = P.fused_quantize_mx(x, h, rot_size=32,
-                                               method="quest",
-                                               layout="kmajor")
-                return P.matmul_mxf4_bf16_kmajor(xqt, p["wqt"][j % NW], xst,
-                                                 p["wst"][j % NW], one)
+                cq, cs = P.fused_quantize_mx(x, h, rot_size=had,
+                                             method="quest",
+                                             layout="kmajor_codes")
+                ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+                return I8.matmul_mxf4_bf16_int8_kmajor(ai, p["wi8"][j % nw],
+                                                       sa, p["wsb"][j % nw],
+                                                       one)
 
             def bf16_linear(d, j, p):
-                return chain_dep(a, d) @ p["wT"][j % NW]
+                return chain_dep(a, d) @ p["wT"][j % nw]
 
             tq = bench_scan(quant_linear, qparams)
-            tb = bench_scan(bf16_linear, bparams)
+            if (M, K, N) not in tbs:
+                tbs[(M, K, N)] = bench_scan(bf16_linear, bparams)
+            tb = tbs[(M, K, N)]
             s = tb / tq
             speedups.append(s)
+            by_m.setdefault(M, []).append(s)
             tf = 2 * M * N * K / tq / 1e12
-            log(f"K={K:5d} N={N:5d} M={M:5d}: mxfp4 {tq*1e6:9.1f}us "
-                f"({tf:6.2f} TF/s) bf16 {tb*1e6:9.1f}us  speedup {s:5.2f}x")
-        del wTs, wqts, wsts, qparams, bparams
+            log(f"{table} K={K:5d} N={N:5d} had={had:3d} M={M:5d}: "
+                f"mxfp4-int8 {tq*1e6:9.1f}us ({tf:6.2f} TF/s) "
+                f"bf16 {tb*1e6:9.1f}us  speedup {s:5.2f}x")
+        del qparams, bparams
+    del cur_weights
 
+    if nv_line is not None:
+        table, K, N, had, ms = nv_line
+        w = (jax.random.normal(jax.random.PRNGKey(99), (N, K), jnp.bfloat16)
+             * 0.05)
+        gsw = jnp.float32(6.0) / jnp.maximum(
+            jnp.max(jnp.abs(w.astype(jnp.float32))), 1e-6)
+        wqt, wst = P.fused_quantize_nv(w, HS[32], gsw, rot_size=32,
+                                       layout="kmajor")
+        nvp = {"wqt": [wqt], "wst": [wst], "wT": [w.T]}
+        for M in ms:
+            a = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.bfloat16)
+
+            def nv_linear(d, j, p):
+                x = chain_dep(a, d)
+                xqt, xst = P.fused_quantize_nv(x, HS[32], jnp.float32(6.0),
+                                               rot_size=32, layout="kmajor")
+                return P.matmul_nvf4_bf16_kmajor(xqt, p["wqt"][0], xst,
+                                                 p["wst"][0], one)
+
+            def bf16_linear(d, j, p):
+                return chain_dep(a, d) @ p["wT"][0]
+
+            tq = bench_scan(nv_linear, nvp)
+            tb = bench_scan(bf16_linear, nvp)
+            log(f"NVFP4 {table} K={K} N={N} M={M:5d}: "
+                f"{tq*1e6:9.1f}us ({2*M*N*K/tq/1e12:6.2f} TF/s) "
+                f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x")
+
+    for M in sorted(by_m):
+        g = float(np.exp(np.mean(np.log(by_m[M]))))
+        log(f"geomean by M={M:5d}: {g:5.2f}x over {len(by_m[M])} shapes")
     geomean = float(np.exp(np.mean(np.log(speedups))))
+    log(f"total wall time {time.time()-t_start:.0f}s, "
+        f"{len(speedups)} grid points")
     print(json.dumps({
         "metric": "mxfp4_w4a4_linear_speedup_vs_bf16_geomean",
         "value": round(geomean, 4),

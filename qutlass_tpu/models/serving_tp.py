@@ -48,38 +48,58 @@ def shard_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
         intermediate_size=cfg.intermediate_size // tp)
 
 
-def _wspec(name: str, quantized: bool, axis: str):
+def _wspec(name: str, quantized: bool, axis: str, keys=None):
     """PartitionSpec for one projection weight.
 
     Column-parallel (q/k/v/gate/up): output dim sharded.  Row-parallel
-    (o/down): input (K) dim sharded.  Quantized weights are kmajor
-    {wqt [K/2, N], wst [K/gs, N]}: the output dim is axis 1 and the K
-    dim axis 0, so both orientations are expressible on the same dict.
-    bf16 weights are [N, K] (out, in).
+    (o/down): input (K) dim sharded.  Quantized weight dicts carry any
+    of: kmajor fp4 {wqt [K/2, N], wst [K/gs, N]} (output dim = axis 1,
+    K = axis 0), int8 {wi8 [N, K], wsb [N]} (ops/int8path.py — output
+    dim = axis 0; wsb is per-OUTPUT-row, so row-parallel leaves it
+    replicated), NVFP4 adds a replicated scalar {gs}.  bf16 weights are
+    [N, K] (out, in).
     """
     col = name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
-    if quantized:
-        spec = P(None, axis) if col else P(axis, None)
-        return {"wqt": spec, "wst": spec}
-    return P(axis, None) if col else P(None, axis)
+    if not quantized:
+        return P(axis, None) if col else P(None, axis)
+    kspec = P(None, axis) if col else P(axis, None)
+    by_key = {
+        "wqt": kspec, "wst": kspec,
+        "wi8": P(axis, None) if col else P(None, axis),
+        "wsb": P(axis) if col else P(None),
+        "gs": P(),
+    }
+    keys = keys if keys is not None else ("wqt", "wst")
+    return {k: by_key[k] for k in keys}
 
 
-def param_specs(cfg: ModelConfig, quantized: bool = True, axis: str = "tp"):
-    """PartitionSpec pytree matching (quantized) transformer params."""
+def param_specs(cfg: ModelConfig, quantized: bool = True, axis: str = "tp",
+                params=None):
+    """PartitionSpec pytree matching (quantized) transformer params.
+
+    Pass ``params`` to key each projection's spec dict off the actual
+    stored operand formats (fp4 / int8 / NV) instead of assuming fp4.
+    """
     layer = {
         "input_norm": P(None), "post_attn_norm": P(None),
     }
     if cfg.qk_norm:
         layer["q_norm"] = P(None)
         layer["k_norm"] = P(None)
-    for nm in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
-               "up_proj", "down_proj"):
-        layer[nm] = _wspec(nm, quantized, axis)
     specs = {
         "embed": P(None, None),
         "final_norm": P(None),
-        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+        "layers": [],
     }
+    for li in range(cfg.num_layers):
+        ld = dict(layer)
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                   "up_proj", "down_proj"):
+            keys = None
+            if quantized and params is not None:
+                keys = tuple(params["layers"][li][nm].keys())
+            ld[nm] = _wspec(nm, quantized, axis, keys)
+        specs["layers"].append(ld)
     if not cfg.tie_embeddings:
         specs["lm_head"] = P(None, None)
     return specs
@@ -88,7 +108,7 @@ def param_specs(cfg: ModelConfig, quantized: bool = True, axis: str = "tp"):
 def shard_params(cfg: ModelConfig, params, mesh: Mesh, *,
                  quantized: bool = True, axis: str = "tp"):
     """device_put the param tree with the TP NamedShardings."""
-    specs = param_specs(cfg, quantized, axis)
+    specs = param_specs(cfg, quantized, axis, params)
     # map over the spec tree (PartitionSpec is a tuple — stop there)
     return jax.tree.map(
         lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
@@ -129,7 +149,8 @@ def tp_prefill(cfg: ModelConfig, params, tokens, h, mesh: Mesh, *,
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
     b = tokens.shape[0]
-    specs = (specs_fn or param_specs)(cfg, quantized, axis)
+    specs = (param_specs(cfg, quantized, axis, params) if specs_fn is None
+             else specs_fn(cfg, quantized, axis))
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     @functools.partial(
@@ -157,7 +178,8 @@ def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
     """One sharded decode step: token [B] at traced position ``pos``."""
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
-    specs = (specs_fn or param_specs)(cfg, quantized, axis)
+    specs = (param_specs(cfg, quantized, axis, params) if specs_fn is None
+             else specs_fn(cfg, quantized, axis))
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     @functools.partial(
@@ -195,7 +217,8 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
     b, t = prompt.shape
     if key is None:
         key = jax.random.PRNGKey(0)
-    specs = (specs_fn or param_specs)(cfg, quantized, axis)
+    specs = (param_specs(cfg, quantized, axis, params) if specs_fn is None
+             else specs_fn(cfg, quantized, axis))
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     def pick(logits, k):

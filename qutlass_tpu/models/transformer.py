@@ -109,14 +109,28 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16):
 
 
 def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
-                           method: str = "quest", fmt: str = "mx"):
+                           method: str = "quest", fmt: str = "mx",
+                           weight_format: str = "int8"):
     """Pre-quantize every linear weight to MXFP4 or NVFP4.
 
     ``fmt="nv"`` uses the vLLM-compatible two-level NVFP4 scheme
     (method defaults make sense per format: quest for MX, abs_max for
     NV); the per-weight global scale 6/amax(w·H) is stored alongside.
     The lm head stays bf16 (standard practice).
+
+    ``weight_format`` (MX only) selects the stored MXFP4 evaluator
+    operand:
+      "int8"  per-row-exponent int8 mantissas (ops/int8path.py) — the
+              int8-MXU path, fastest at every M on v5e (1 byte/param).
+              Falls back to fp4 per tensor when the row exponent spread
+              exceeds the 3-bit budget (checked here, host-side — the
+              int8 evaluation is bit-exact whenever stored).
+      "fp4"   packed nibbles + e8m0 bytes (0.5 byte/param) — the
+              decode-GEMM path; choose under HBM pressure.
+      "both"  store the two side by side.
     """
+    from ..ops import int8path as I8
+
     def quant(w):
         if fmt == "nv":
             m = "abs_max" if method == "quest" else method
@@ -127,6 +141,13 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
                                          layout="kmajor")
             return {"wqt": wqt, "wst": wst, "gs": gsw}
         wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
+        if weight_format in ("int8", "both"):
+            wi8, wsb, dmax = I8.prepare_weight_int8(wqt, wst)
+            if int(dmax) <= 3:               # int8 evaluation exact
+                d = {"wi8": wi8, "wsb": wsb}
+                if weight_format == "both":
+                    d.update(wqt=wqt, wst=wst)
+                return d
         return {"wqt": wqt, "wst": wst}
 
     out = dict(params)
@@ -191,8 +212,12 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         return jax.lax.dot_general(
             x, w, (((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(od)
-    wqt, wst = w["wqt"], w["wst"]
-    k, n = wqt.shape[0] * 2, wqt.shape[1]
+    if "wi8" in w:
+        n, k = w["wi8"].shape
+        wqt = wst = None
+    else:
+        wqt, wst = w["wqt"], w["wst"]
+        k, n = wqt.shape[0] * 2, wqt.shape[1]
     x2 = x.reshape(-1, k)
     if "gs" in w:   # NVFP4 weight (two-level scheme)
         # vLLM-style two-level NVFP4: per-tensor global scales on both
@@ -205,12 +230,25 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
                                       out_dtype=od)
         return y.reshape(*x.shape[:-1], n)
-    # v5e: composed kmajor quantize + GEMM wins at every M (the
-    # unpacked-codes layout measured neutral: the 2x activation bytes
-    # cost what the skipped nibble pack saves)
+    if "wi8" in w:
+        # int8-MXU evaluator (ops/int8path.py): quantize to unpacked
+        # codes, encode per-row int8, whole-K int8 dot + rank-1 fixup.
+        # Bit-exact vs the decode path (weights stored int8 only when
+        # their deficit budget holds; activations from the rotated
+        # quantizer always hold — measured).  Beats bf16 at every M.
+        from ..ops import int8path as I8
+        cq, cs = q.fusedQuantizeMx(x2, h, method=method,
+                                   layout="kmajor_codes")
+        ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+        alpha = jnp.float32(1.0) if method == "quest" else jnp.float32(1 / 9)
+        y = I8.matmul_mxf4_bf16_int8_kmajor(ai, w["wi8"], sa, w["wsb"],
+                                            alpha, out_dtype=od)
+        return y.reshape(*x.shape[:-1], n)
+    # composed kmajor quantize + decode GEMM (the fp4-weight path);
+    # abs_max stores 3x-scaled codes on both operands -> alpha 1/9
+    alpha = jnp.full((1,), 1.0 if method == "quest" else 1 / 9, jnp.float32)
     xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
-    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
-                                  jnp.ones((1,), jnp.float32),
+    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
                                   out_dtype=od)
     return y.reshape(*x.shape[:-1], n)
 

@@ -72,36 +72,39 @@ def encode_int8(codes_or_packed, scale_bytes, *, kmajor: bool = False):
     ``kmajor=True`` takes the quantizer's K-major layout (codes [K, R]
     or packed [K/2, R], scales [K/32, R]) and returns a' [K, R].
     """
+    # single formula covers both regimes: m * 2^(3-d) is EXACT in fp32
+    # for d <= 3 (pure shift of a 4-bit integer) and RTNE-rounds the
+    # rare over-deficit groups; the group multiplier broadcasts through
+    # a [G, 32, R] view instead of a materialized repeat.
     if kmajor:
         packed_k, rows = codes_or_packed.shape
         k = scale_bytes.shape[0] * 32
         codes = (codes_or_packed if packed_k == k
                  else _unpack(codes_or_packed.T).T.reshape(k, rows))
-        m = _codes_to_m2(codes)                       # [K, R]
+        m = _codes_to_m2(codes).astype(jnp.float32)   # [K, R]
         se = scale_bytes.astype(jnp.int32) - 127      # [K/32, R]
         e = jnp.max(se, axis=0)                       # [R]
         d = e[None, :] - se                           # [K/32, R]
-        dk = jnp.repeat(d, 32, axis=0)
+        mult = jnp.exp2((3 - d).astype(jnp.float32))
+        q = m.reshape(k // 32, 32, rows) * mult[:, None, :]
+        a = jnp.round(q).astype(jnp.int8).reshape(k, rows)
     else:
         k = scale_bytes.shape[-1] * 32
         codes = (codes_or_packed if codes_or_packed.shape[-1] == k
                  else _unpack(codes_or_packed))
-        m = _codes_to_m2(codes)
+        m = _codes_to_m2(codes).astype(jnp.float32)
         se = scale_bytes.astype(jnp.int32) - 127
         e = jnp.max(se, axis=-1)
         d = e[..., None] - se
-        dk = jnp.repeat(d, 32, axis=-1)
-    exact = m << jnp.clip(3 - dk, 0, 3)
-    rounded = jnp.round(m.astype(jnp.float32)
-                        * jnp.exp2(-(dk - 3).astype(jnp.float32))
-                        ).astype(jnp.int32)
-    a = jnp.where(dk <= 3, exact, rounded).astype(jnp.int8)
+        mult = jnp.exp2((3 - d).astype(jnp.float32))
+        q = m.reshape(*m.shape[:-1], k // 32, 32) * mult[..., None]
+        a = jnp.round(q).astype(jnp.int8).reshape(m.shape)
     scale = jnp.exp2((e - 4).astype(jnp.float32))
     return a, scale, jnp.max(d)
 
 
-@jax.jit
-def matmul_mxf4_bf16_int8(a_i8, b_i8, sa, sb, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_int8(a_i8, b_i8, sa, sb, alpha, out_dtype=jnp.bfloat16):
     """C = (a' @ b'^T) * sa[m] * sb[n] * alpha, bf16 out.
 
     a_i8 [M, K] int8, b_i8 [N, K] int8 (both from :func:`encode_int8`),
@@ -112,18 +115,19 @@ def matmul_mxf4_bf16_int8(a_i8, b_i8, sa, sb, alpha):
                             preferred_element_type=jnp.int32)
     al = jnp.asarray(alpha, jnp.float32).reshape(())
     return (o.astype(jnp.float32) * (sa[:, None] * al) * sb[None, :]
-            ).astype(jnp.bfloat16)
+            ).astype(out_dtype)
 
 
-@jax.jit
-def matmul_mxf4_bf16_int8_kmajor(at_i8, b_i8, sa, sb, alpha):
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_mxf4_bf16_int8_kmajor(at_i8, b_i8, sa, sb, alpha,
+                                 out_dtype=jnp.bfloat16):
     """K-major activation variant: at_i8 [K, M] (as the K-major
     quantizer emits), b_i8 [N, K] weights."""
     o = jax.lax.dot_general(at_i8, b_i8, (((0,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
     al = jnp.asarray(alpha, jnp.float32).reshape(())
     return (o.astype(jnp.float32) * (sa[:, None] * al) * sb[None, :]
-            ).astype(jnp.bfloat16)
+            ).astype(out_dtype)
 
 
 def prepare_weight_int8(wqt, wst):

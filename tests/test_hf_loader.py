@@ -105,7 +105,8 @@ def test_load_model_one_call(tmp_path):
     h = bf16_hadamard(32)
     qcfg, qparams = load_model(str(tmp_path), quantize=True, h=h)
     lw = qparams["layers"][0]["q_proj"]
-    assert set(lw) == {"wqt", "wst"} and lw["wqt"].dtype == jnp.uint8
+    # default weight_format="int8" stores the int8-MXU operand
+    assert set(lw) == {"wi8", "wsb"} and lw["wi8"].dtype == jnp.int8
     qout = forward(qcfg, qparams, toks, h, quantized=True)
     a = np.asarray(out, np.float32).ravel()
     b = np.asarray(qout, np.float32).ravel()
