@@ -1,4 +1,5 @@
-from . import hf_loader, moe, moe_tp, serving, serving_tp
+from . import continuous, hf_loader, moe, moe_tp, serving, serving_tp
+from .continuous import ContinuousBatcher
 from .moe import MoeConfig, QWEN3_MOE_30B_A3B, tiny_moe_config
 from .serving import (decode_step, generate, init_cache, prefill,
                       sample_logits)
@@ -10,6 +11,6 @@ __all__ = ["ModelConfig", "QWEN3_8B", "QWEN3_14B", "QWEN3_32B", "LLAMA31_8B",
            "LLAMA31_70B", "init_params", "forward", "quantize_model_weights",
            "tiny_config", "serving", "prefill", "decode_step", "generate",
            "init_cache", "sample_logits", "hf_loader", "moe", "moe_tp",
-           "serving_tp",
+           "serving_tp", "continuous", "ContinuousBatcher",
            "MoeConfig",
            "QWEN3_MOE_30B_A3B", "tiny_moe_config"]

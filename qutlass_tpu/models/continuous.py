@@ -1,0 +1,138 @@
+"""Continuous batching: slot reuse/eviction over the ragged serving path.
+
+The reference delegates serving to vLLM (README.md:50); its TPU-native
+equivalent here is a fixed-shape slot scheduler: a batch of ``n_slots``
+rows with a shared static KV cache, per-row decode positions (the
+ragged path in models/serving.py), admission of new prompts into rows
+freed by EOS/finish, and host-side output collection.
+
+TPU-friendliness: every device computation has a static shape — the
+[n_slots] decode step and the bucketed B=1 prefill each compile once;
+admission/eviction is host-side bookkeeping.  A freed row's stale cache
+contents are harmless: a new tenant's prefill overwrites positions
+[0, len), decode writes position p before the attention mask can see
+it, and the mask never admits positions beyond the tenant's own
+history.
+
+Bit-equality contract (test_continuous.py): each prompt's greedy tokens
+equal its solo ``generate`` run exactly on CPU — rows of a batched
+decode are computed independently, so batching cannot change per-row
+numerics (on TPU, kernel tiling may introduce reduction-order ties,
+same as the ragged test).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .serving import decode_step, init_cache, prefill, sample_logits
+from .transformer import ModelConfig
+
+
+def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method",
+                                             "max_len", "mlp"))
+def _prefill_one(cfg, params, tokens, length, h, *, max_len, quantized,
+                 method, mlp=None):
+    """Prefill a single padded prompt [1, T]; returns (logits, cache)."""
+    return prefill(cfg, params, tokens, h, max_len=max_len,
+                   quantized=quantized, method=method, mlp=mlp,
+                   lengths=length)
+
+
+@dataclass
+class _Slot:
+    prompt_id: int = -1
+    remaining: int = 0
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Fixed-slot continuous batching scheduler (host-side control).
+
+    >>> cb = ContinuousBatcher(cfg, qparams, h, n_slots=4, max_len=128,
+    ...                        quantized=True)
+    >>> outs = cb.run([(ids1, 32), (ids2, 16), ...], eos_id=2)
+    outs[i] == the generated tokens for prompt i (trimmed at EOS).
+    """
+
+    def __init__(self, cfg: ModelConfig, params, h=None, *, n_slots: int,
+                 max_len: int, quantized: bool = False,
+                 method: str = "quest", mlp=None):
+        self.cfg, self.params, self.h = cfg, params, h
+        self.n = n_slots
+        self.max_len = max_len
+        self.kw = dict(quantized=quantized, method=method, mlp=mlp)
+        self.cache = init_cache(cfg, n_slots, max_len)
+        self.token = jnp.zeros((n_slots,), jnp.int32)
+        self.pos = jnp.zeros((n_slots,), jnp.int32)
+        self.slots = [_Slot() for _ in range(n_slots)]
+
+    # ------------------------------------------------------------- admission
+    def _admit(self, slot: int, prompt_id: int, ids: np.ndarray, steps: int):
+        t = len(ids)
+        tb = _bucket(t)
+        padded = np.zeros((1, tb), np.int32)
+        padded[0, :t] = ids
+        logits, cache1 = _prefill_one(
+            self.cfg, self.params, jnp.asarray(padded),
+            jnp.asarray([t], jnp.int32), self.h, max_len=self.max_len,
+            **self.kw)
+        first = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        # splice the tenant's cache rows into the batch cache
+        for l, (cl, c1) in enumerate(zip(self.cache, cache1)):
+            for kv in ("k", "v"):
+                self.cache[l][kv] = cl[kv].at[slot].set(c1[kv][0])
+        self.token = self.token.at[slot].set(first)
+        self.pos = self.pos.at[slot].set(t)
+        self.slots[slot] = _Slot(prompt_id, steps, False)
+
+    # ------------------------------------------------------------------ step
+    def _step(self):
+        logits, self.cache = decode_step(self.cfg, self.params, self.cache,
+                                         self.token, self.pos, self.h,
+                                         **self.kw)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = np.asarray(self.token)
+        self.token = nxt
+        self.pos = self.pos + 1
+        return out
+
+    # ------------------------------------------------------------------- run
+    def run(self, prompts, *, eos_id: int | None = None):
+        """Drive a stream of ``(token_ids, steps)`` prompts to completion.
+
+        Returns a list of np arrays, one per prompt, each the generated
+        tokens (including the EOS token, truncated after it).
+        """
+        queue = list(enumerate(prompts))
+        outputs: dict[int, list] = {i: [] for i in range(len(prompts))}
+        while queue or any(s.remaining > 0 for s in self.slots):
+            # fill free slots
+            for i, s in enumerate(self.slots):
+                if s.remaining <= 0 and queue:
+                    pid, (ids, steps) = queue.pop(0)
+                    if self.pos.shape and len(ids) + steps > self.max_len:
+                        raise ValueError(
+                            f"prompt {pid}: len {len(ids)} + steps {steps} "
+                            f"exceeds max_len {self.max_len}")
+                    self._admit(i, pid, np.asarray(ids, np.int32), steps)
+            tokens = self._step()
+            for i, s in enumerate(self.slots):
+                if s.remaining > 0:
+                    if not s.done:
+                        outputs[s.prompt_id].append(int(tokens[i]))
+                        if eos_id is not None and tokens[i] == eos_id:
+                            s.done = True
+                    s.remaining -= 1 if not s.done else s.remaining
+        return [np.asarray(outputs[i], np.int32) for i in range(len(prompts))]

@@ -1,0 +1,81 @@
+"""Continuous batching: streamed prompts through a fixed slot pool must
+reproduce solo generation bit-for-bit (greedy, CPU) — VERDICT r1 #9."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qutlass_tpu.models import (ModelConfig, generate, init_params,
+                                quantize_model_weights, tiny_config)
+from qutlass_tpu.models.continuous import ContinuousBatcher
+from helpers import bf16_hadamard
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    qparams = quantize_model_weights(cfg, params, h)
+    return cfg, params, qparams, h
+
+
+def _solo(cfg, params, h, ids, steps, quantized, eos_id=None):
+    prompt = jnp.asarray(np.asarray(ids, np.int32)[None])
+    toks = np.asarray(generate(cfg, params, prompt, h, steps=steps,
+                               max_len=64, quantized=quantized,
+                               eos_id=eos_id, pad_id=-1))[0]
+    if eos_id is not None:
+        keep = []
+        for t in toks:
+            if t == -1:
+                break
+            keep.append(t)
+            if t == eos_id:
+                break
+        return np.asarray(keep, np.int32)
+    return toks
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_stream_matches_solo(setup, quantized):
+    cfg, params, qparams, h = setup
+    p = qparams if quantized else params
+    rng = np.random.default_rng(0)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 9)), 5)
+               for _ in range(7)]
+    cb = ContinuousBatcher(cfg, p, h, n_slots=3, max_len=64,
+                           quantized=quantized)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, p, h, ids, steps, quantized)
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")
+
+
+def test_stream_eos_frees_slots(setup):
+    """EOS eviction: finished rows free mid-stream and later prompts
+    still match solo generation."""
+    cfg, params, _, h = setup
+    rng = np.random.default_rng(1)
+    # find an eos_id that actually occurs early for some prompt: use the
+    # model's own greedy output as the eos target for prompt 0
+    ids0 = rng.integers(0, cfg.vocab_size, 5)
+    first = _solo(cfg, params, h, ids0, 3, False)
+    eos = int(first[1])
+    prompts = [(ids0, 8)] + [
+        (rng.integers(0, cfg.vocab_size, rng.integers(3, 9)), 6)
+        for _ in range(4)]
+    cb = ContinuousBatcher(cfg, params, h, n_slots=2, max_len=64)
+    outs = cb.run(prompts, eos_id=eos)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, params, h, ids, steps, False, eos_id=eos)
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")
+
+
+def test_rejects_oversized_prompt(setup):
+    cfg, params, _, h = setup
+    cb = ContinuousBatcher(cfg, params, h, n_slots=2, max_len=16)
+    with pytest.raises(ValueError, match="exceeds max_len"):
+        cb.run([(np.arange(12), 8)])
