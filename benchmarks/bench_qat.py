@@ -68,15 +68,22 @@ def main():
     pq_ste.defvjp(lambda v: (pseudo_quant(v), None), lambda _, g: (g,))
 
     def loss_pseudo(x, w):
-        y = pq_ste(x).astype(jnp.float32) @ pq_ste(w).astype(jnp.float32).T
+        # bf16 GEMM with fp32 accumulation — the rate a real bf16
+        # pseudo-quant trainer gets (an f32-cast GEMM would run the MXU
+        # at a fraction of peak and flatter the quartet number)
+        y = jax.lax.dot_general(pq_ste(x), pq_ste(w),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         return jnp.sum(y * t)
 
     def loss_quartet(x, w):
         return jnp.sum(quartet_linear(x, w, h, "quest").astype(jnp.float32) * t)
 
     def bench(step, iters=4, chain=3):
-        # slope-timed at iters and 5*iters (fixed ~30ms dispatch cost
-        # through the tunnel cancels; see qutlass_tpu.profiling)
+        # slope-timed at iters and 5*iters; results are FETCHED (the
+        # remote tunnel's block_until_ready does not block), and every
+        # repetition varies dep (the runtime caches executions by input
+        # value) — see qutlass_tpu.profiling.benchmark
         def make(n):
             @jax.jit
             def loop(dep):
@@ -91,16 +98,19 @@ def main():
                 return c
             return loop
         l1, l5 = make(iters), make(5 * iters)
+        run = lambda l, d: float(np.asarray(l(d))[0])
         d = jnp.zeros((1,), jnp.float32)
-        l1(d).block_until_ready()
-        l5(d).block_until_ready()
+        run(l1, d)
+        run(l5, d)
         t1 = t5 = np.inf
-        for _ in range(3):
+        for r in range(3):
+            d = jnp.full((1,), 1.0 + r, jnp.float32)
             t0 = time.perf_counter()
-            l1(d).block_until_ready()
+            run(l1, d)
             t1 = min(t1, time.perf_counter() - t0)
+            d = jnp.full((1,), 101.0 + r, jnp.float32)
             t0 = time.perf_counter()
-            l5(d).block_until_ready()
+            run(l5, d)
             t5 = min(t5, time.perf_counter() - t0)
         return max(t5 - t1, 1e-9) / (4 * iters * chain)
 

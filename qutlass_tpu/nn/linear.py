@@ -36,8 +36,24 @@ from ..utils import round_up
 
 
 def _unrotate(g: jax.Array, h: jax.Array) -> jax.Array:
-    """Apply the inverse (transpose) rotation per contiguous gs-chunk."""
+    """Apply the inverse (transpose) rotation per contiguous gs-chunk.
+
+    When K is 128-divisible the rotation is lifted to the 128x128
+    block-diagonal bf16 operand (kron(I, H^T)) — one full-width bf16
+    MXU matmul instead of a contraction-``rot`` fp32 dot that runs at a
+    fraction of peak (the same lift the quantizer uses,
+    kernels/quantize.py:_h128).  Gradients tolerate the bf16 operand
+    (fp32 accumulation; H entries are exact powers of two times signs).
+    """
     rot = h.shape[-1]
+    k = g.shape[-1]
+    if k % 128 == 0:
+        from ..kernels.quantize import _h128
+        ht128 = _h128(h, rot).T                    # bf16 [128, 128]
+        gr = g.reshape(-1, 128).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(gr, ht128, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return out.reshape(g.shape)
     gr = g.reshape(-1, rot).astype(jnp.float32)
     ht = h.reshape(rot, rot).astype(jnp.float32).T
     out = jax.lax.dot_general(gr, ht, (((1,), (0,)), ((), ())),
@@ -82,7 +98,13 @@ def _quartet_fwd_impl(x, w, h, method):
         mask_t = None
     wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
     alpha = jnp.full((1,), 1.0 if method == "quest" else 1.0 / 9.0, jnp.float32)
-    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, alpha)
+    # forward contraction on the int8 MXU (~2x bf16 peak; bit-exact for
+    # quantizer-produced operands — ops/int8path.py); residuals keep the
+    # kmajor byte layout the backward kernels consume
+    from ..ops import int8path as I8
+    xi, sx, _ = I8.encode_int8(xqt, xst, kmajor=True)
+    wi, sw, _ = I8.encode_int8(wqt, wst, kmajor=True)
+    y = I8.matmul_mxf4_bf16_int8_kmajor(xi, wi.T, sx, sw, alpha)
     return y, (xqt, xst, mask_t, wqt, wst)
 
 
