@@ -66,23 +66,35 @@ def init_params(cfg: MoeConfig, key: jax.Array, dtype=jnp.bfloat16):
     return params
 
 
-def quantize_model_weights(cfg: MoeConfig, params, h, method: str = "quest"):
-    """Quantize attention projections and every expert weight to MXFP4."""
+def quantize_model_weights(cfg: MoeConfig, params, h, method: str = "quest",
+                           weight_format: str = "int8"):
+    """Quantize attention projections and every expert weight to MXFP4.
+
+    ``weight_format`` as in the dense model (transformer.py): "int8"
+    stores the int8-MXU operand (per-tensor exactness check, fp4
+    fallback), "fp4" the packed decode format, "both" both.
+    """
+    from ..ops import int8path as I8
+
+    def quant(w):
+        wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
+        if weight_format in ("int8", "both"):
+            wi8, wsb, dmax = I8.prepare_weight_int8(wqt, wst)
+            if int(dmax) <= 3:
+                d = {"wi8": wi8, "wsb": wsb}
+                if weight_format == "both":
+                    d.update(wqt=wqt, wst=wst)
+                return d
+        return {"wqt": wqt, "wst": wst}
+
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
         ql = dict(layer)
         for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            wqt, wst = q.fusedQuantizeMx(layer[name], h, method=method,
-                                         layout="kmajor")
-            ql[name] = {"wqt": wqt, "wst": wst}
+            ql[name] = quant(layer[name])
         for name in ("expert_gate", "expert_up", "expert_down"):
-            per = []
-            for e in range(cfg.n_experts):
-                wqt, wst = q.fusedQuantizeMx(layer[name][e], h, method=method,
-                                             layout="kmajor")
-                per.append({"wqt": wqt, "wst": wst})
-            ql[name] = per
+            ql[name] = [quant(layer[name][e]) for e in range(cfg.n_experts)]
         out["layers"].append(ql)
     return out
 

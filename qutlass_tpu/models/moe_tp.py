@@ -52,23 +52,43 @@ def stack_experts(cfg: MoeConfig, params):
     return out
 
 
-def param_specs(cfg: MoeConfig, quantized: bool = True, axis: str = "tp"):
-    """PartitionSpec tree for stacked MoE params."""
-    layer = {"input_norm": P(None), "post_attn_norm": P(None),
-             "router": P(None, None)}
-    if cfg.qk_norm:
-        layer["q_norm"] = P(None)
-        layer["k_norm"] = P(None)
-    for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
-        layer[nm] = _wspec(nm, quantized, axis)
-    for nm in ("expert_gate", "expert_up", "expert_down"):
-        spec = P(axis, None, None)
-        layer[nm] = {"wqt": spec, "wst": spec} if quantized else spec
+def param_specs(cfg: MoeConfig, quantized: bool = True, axis: str = "tp",
+                params=None):
+    """PartitionSpec tree for stacked MoE params.
+
+    ``params`` (the STACKED tree) keys each weight's spec dict off the
+    stored operand formats (fp4 {wqt, wst} / int8 {wi8, wsb}); expert
+    stacks shard dim 0 over the EP axis, with rank-matched specs per
+    operand (wsb stacks to rank 2).
+    """
+    expert_by_key = {"wqt": P(axis, None, None), "wst": P(axis, None, None),
+                     "wi8": P(axis, None, None), "wsb": P(axis, None)}
     specs = {
         "embed": P(None, None),
         "final_norm": P(None),
-        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+        "layers": [],
     }
+    for li in range(cfg.num_layers):
+        layer = {"input_norm": P(None), "post_attn_norm": P(None),
+                 "router": P(None, None)}
+        if cfg.qk_norm:
+            layer["q_norm"] = P(None)
+            layer["k_norm"] = P(None)
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            keys = None
+            if quantized and params is not None:
+                keys = tuple(params["layers"][li][nm].keys())
+            layer[nm] = _wspec(nm, quantized, axis, keys)
+        for nm in ("expert_gate", "expert_up", "expert_down"):
+            if not quantized:
+                layer[nm] = P(axis, None, None)
+            elif params is not None:
+                layer[nm] = {k: expert_by_key[k]
+                             for k in params["layers"][li][nm]}
+            else:
+                layer[nm] = {"wqt": expert_by_key["wqt"],
+                             "wst": expert_by_key["wst"]}
+        specs["layers"].append(layer)
     if not cfg.tie_embeddings:
         specs["lm_head"] = P(None, None)
     return specs
@@ -78,7 +98,7 @@ def shard_params(cfg: MoeConfig, params, mesh: Mesh, *,
                  quantized: bool = True, axis: str = "tp"):
     """stack_experts + device_put with the EP/TP NamedShardings."""
     stacked = stack_experts(cfg, params)
-    specs = param_specs(cfg, quantized, axis)
+    specs = param_specs(cfg, quantized, axis, stacked)
     return jax.tree.map(
         lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
         specs, stacked, is_leaf=lambda s: isinstance(s, P))
@@ -123,7 +143,10 @@ def _moe_mlp_tp(gcfg: MoeConfig, axis: str):
         back = jnp.stack(outs).astype(jnp.float32)        # [e_local, cap, d]
         comb = jnp.einsum("mec,ecd->med", disp_l, back)
         y = jnp.einsum("med,me->md", comb, gates_l)       # partial over local
-        return y.reshape(b, t, d).astype(jnp.bfloat16)
+        # fp32 partials: _block's reduce psums unrounded and casts once
+        # (the same near-bitwise-vs-single-device property as the dense
+        # TP path, serving.py:_block)
+        return y.reshape(b, t, d)
     return hook
 
 

@@ -149,8 +149,7 @@ def tp_prefill(cfg: ModelConfig, params, tokens, h, mesh: Mesh, *,
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
     b = tokens.shape[0]
-    specs = (param_specs(cfg, quantized, axis, params) if specs_fn is None
-             else specs_fn(cfg, quantized, axis))
+    specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     @functools.partial(
@@ -178,8 +177,7 @@ def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
     """One sharded decode step: token [B] at traced position ``pos``."""
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
-    specs = (param_specs(cfg, quantized, axis, params) if specs_fn is None
-             else specs_fn(cfg, quantized, axis))
+    specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     @functools.partial(
@@ -217,8 +215,7 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
     b, t = prompt.shape
     if key is None:
         key = jax.random.PRNGKey(0)
-    specs = (param_specs(cfg, quantized, axis, params) if specs_fn is None
-             else specs_fn(cfg, quantized, axis))
+    specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
     def pick(logits, k):
