@@ -178,14 +178,15 @@ def forward(cfg: MoeConfig, params, tokens, h=None, *, quantized=False,
         qh = _rope(qh, positions, cfg.rope_theta)
         kh = _rope(kh, positions, cfg.rope_theta)
         rep = cfg.num_heads // cfg.num_kv_heads
-        kh = jnp.repeat(kh, rep, axis=2)
-        vh = jnp.repeat(vh, rep, axis=2)
-        scores = jnp.einsum("bthd,bshd->bhts", qh.astype(jnp.float32),
+        # grouped attention without materializing the rep-fold KV repeat
+        q5 = qh.reshape(b, t, cfg.num_kv_heads, rep, cfg.head_dim)
+        scores = jnp.einsum("btgrd,bsgd->bgrts", q5.astype(jnp.float32),
                             kh.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
-        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+        scores = jnp.where(causal[None, None, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhts,bshd->bthd", probs,
+        attn = jnp.einsum("bgrts,bsgd->btgrd", probs,
                           vh.astype(jnp.float32)).astype(x.dtype)
+        attn = attn.reshape(b, t, cfg.num_heads, cfg.head_dim)
         attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
         x = x + _linear(attn, layer["o_proj"], h, method, quantized)
 

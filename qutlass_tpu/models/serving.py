@@ -38,19 +38,21 @@ def _attend(cfg, qh, kc, vc, pos_limit):
     b, t, _, _ = qh.shape
     l = kc.shape[1]
     rep = cfg.num_heads // cfg.num_kv_heads
-    kr = jnp.repeat(kc, rep, axis=2)
-    vr = jnp.repeat(vc, rep, axis=2)
-    scores = jnp.einsum("bthd,bshd->bhts", qh.astype(jnp.float32),
-                        kr.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
+    # grouped-query attention WITHOUT materializing the rep-fold KV
+    # repeat: the cache (the dominant decode read) streams once; query
+    # heads of a group batch against their shared KV head
+    q5 = qh.reshape(b, t, cfg.num_kv_heads, rep, cfg.head_dim)
+    scores = jnp.einsum("btgrd,bsgd->bgrts", q5.astype(jnp.float32),
+                        kc.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
     pl = jnp.asarray(pos_limit)
     qpos = pl[..., None] - t + jnp.arange(t)      # [t] or [B, t] abs pos
     qpos = jnp.broadcast_to(qpos, (b, t))
     spos = jnp.arange(l)
     mask = spos[None, None, :] <= qpos[:, :, None]  # [b, t, l]
-    scores = jnp.where(mask[:, None], scores, -jnp.inf)
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, vr.astype(jnp.float32))
-    return out.astype(jnp.bfloat16)
+    out = jnp.einsum("bgrts,bsgd->btgrd", probs, vc.astype(jnp.float32))
+    return out.reshape(b, t, cfg.num_heads, cfg.head_dim).astype(jnp.bfloat16)
 
 
 def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
