@@ -70,10 +70,27 @@ def _norm_scales(sf: jax.Array, rows: int, cols: int) -> jax.Array:
     """
     sf = _as_bytes(sf)
     if sf.ndim == 1:
-        sf = sf.reshape(-1, round_up(cols, 4))
+        # flattened padded buffer: infer the padded column width from
+        # the total size (to_blocked pads cols to x4 and rows to x128,
+        # but accept any whole-row padding >= cols)
+        for pc in (round_up(cols, 4), cols):
+            if sf.size % pc == 0 and sf.size >= rows * pc:
+                sf = sf.reshape(-1, pc)
+                break
+        else:
+            raise ValueError(
+                f"flattened scale buffer of {sf.size} bytes cannot cover "
+                f"[{rows}, {cols}] (expected row padding to a multiple of "
+                f"{round_up(cols, 4)} or {cols} columns)")
+    if sf.ndim != 2:
+        raise ValueError(f"scales must be 1-D or 2-D, got shape {sf.shape}")
     if sf.shape[0] > rows or sf.shape[1] > cols:
         sf = sf[:rows, :cols]
-    assert sf.shape == (rows, cols), (sf.shape, rows, cols)
+    if sf.shape != (rows, cols):
+        raise ValueError(
+            f"scale buffer shape {sf.shape} does not cover the required "
+            f"[{rows}, {cols}] (pass the quantizer's padded buffer, a "
+            f"to_blocked flattening, or the exact matrix)")
     return sf
 
 
