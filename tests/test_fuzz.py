@@ -173,3 +173,32 @@ def test_fuzz_interpret_matches_emulation(seed):
     out_e = E.matmul_mxf4_bf16_kmajor(eaq, ebq, easf, ebsf, one)
     np.testing.assert_array_equal(np.asarray(out_p, np.float32),
                                   np.asarray(out_e, np.float32))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_int8_evaluator(seed):
+    """Random pipeline draws through the int8-MXU evaluator: must be
+    bit-identical to the emulation decode GEMM (deficit budget holds by
+    construction for quantizer-produced tensors)."""
+    from qutlass_tpu.ops import int8path as I8
+
+    rng = np.random.default_rng(7000 + seed)
+    m = int(rng.choice([8, 33, 64]))
+    n = int(rng.choice([16, 96]))
+    k = int(rng.choice(K_POOL))
+    rot = int(rng.choice([r for r in ROTS if k % r == 0]))
+    method = str(rng.choice(["quest", "abs_max"]))
+    a, b = randn_bf16(rng, m, k), randn_bf16(rng, n, k, scale=0.05)
+    h = bf16_hadamard(rot)
+    one = jnp.ones((1,), jnp.float32)
+    aq, asf = E.fused_quantize_mx(a, h, rot_size=rot, method=method,
+                                  layout="kmajor")
+    bq, bsf = E.fused_quantize_mx(b, h, rot_size=rot, method=method,
+                                  layout="kmajor")
+    ai, sa, da = I8.encode_int8(aq, asf, kmajor=True)
+    wi8, wsb, db = I8.prepare_weight_int8(bq, bsf)
+    assert int(da) <= 3 and int(db) <= 3
+    ref = E.matmul_mxf4_bf16_kmajor(aq, bq, asf, bsf, one)
+    out = I8.matmul_mxf4_bf16_int8_kmajor(ai, wi8, sa, wsb, one)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
