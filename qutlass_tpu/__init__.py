@@ -18,6 +18,8 @@ bytes can be viewed with ``ml_dtypes``.)
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -233,14 +235,28 @@ def matmul_mxf4_bf16_kmajor_codes(at, bt, a_sft, b_sft, alpha):
 
 
 def fused_linear_mxf4(x, wqt, wst, h, alpha=None, *, method: str = "quest"):
-    """Single-kernel W4A4 linear: rotate+quantize x and GEMM against a
-    pre-quantized K-major weight in one launch (decode fast path).
+    """W4A4 linear against a pre-quantized K-major weight.
+
+    Executes as the composed quantize + GEMM pipeline, which measures
+    faster than the single fused kernel at every M on v5e (the fused
+    launch keeps a bm x N fp32 accumulator stack alive across the whole
+    K sweep, starving VMEM).  Set ``QUTLASS_TPU_FUSED_LINEAR=1`` to
+    force the single-kernel launch (bit-identical results).
     """
     rot = h.shape[-1]
     k = x.shape[-1]
     if alpha is None:
         alpha = jnp.ones((1,), jnp.float32)
     kn = _route(k % 128 == 0)
+    if kn is not None and os.environ.get("QUTLASS_TPU_FUSED_LINEAR",
+                                         "") in ("", "0"):
+        al = alpha if method == "quest" else alpha * (1.0 / 9.0)
+        x2 = x.reshape(-1, k)
+        xqt, xst = kn.fused_quantize_mx(x2, h, rot_size=rot, method=method,
+                                        layout="kmajor")
+        y = kn.matmul_mxf4_bf16_kmajor(xqt, _as_bytes(wqt), xst,
+                                       _as_bytes(wst), al)
+        return y.reshape(*x.shape[:-1], y.shape[-1])
     impl = kn.fused_linear_mxf4 if kn else _emu.fused_linear_mxf4
     return impl(x, _as_bytes(wqt), _as_bytes(wst), h, alpha,
                 rot_size=rot, method=method)
@@ -290,6 +306,15 @@ def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha=None, *,
     if alpha is None:
         alpha = jnp.ones((1,), jnp.float32)
     kn = _route(k % 128 == 0)
+    if kn is not None and os.environ.get("QUTLASS_TPU_FUSED_LINEAR",
+                                         "") in ("", "0"):
+        # composed pipeline (see fused_linear_mxf4) — bit-identical
+        x2 = x.reshape(-1, k)
+        xqt, xst = kn.fused_quantize_nv(x2, h, global_scale, rot_size=rot,
+                                        method=method, layout="kmajor")
+        y = kn.matmul_nvf4_bf16_kmajor(xqt, _as_bytes(wqt), xst,
+                                       _as_bytes(wst), alpha)
+        return y.reshape(*x.shape[:-1], y.shape[-1])
     impl = kn.fused_linear_nvf4 if kn else _emu.fused_linear_nvf4
     return impl(x, _as_bytes(wqt), _as_bytes(wst), h, global_scale, alpha,
                 rot_size=rot, method=method)
