@@ -79,6 +79,9 @@ def main():
 
         gemm = P.matmul_mxf4_bf16_kmajor
 
+    def p_wqts_for_int8(qp):
+        return qp["wqt"]
+
     results = []
     geos = MODELS[args.model]
     if args.geo is not None:
@@ -123,6 +126,41 @@ def main():
                     ("bf16", bf16, bp)]
             if not args.skip_fused:
                 cols.insert(1, ("fused", fused, qp))
+            if args.fmt == "mx":
+                # the int8-MXU production path (ops/int8path.py)
+                from qutlass_tpu.ops import int8path as I8
+                wi8s, wsbs = [], []
+                for wq_, ws_ in zip(p_wqts_for_int8(qp), qp["wst"]):
+                    wi, wsb, _ = I8.prepare_weight_int8(wq_, ws_)
+                    wi8s.append(wi)
+                    wsbs.append(wsb)
+                ip = {"wi8": wi8s, "wsb": wsbs, "a": qp["a"]}
+
+                def int8_actual(d, j, p):
+                    x = chain_dep(p["a"], d)
+                    cq, cs = P.fused_quantize_mx(x, h, rot_size=args.had,
+                                                 method="quest",
+                                                 layout="kmajor_codes")
+                    ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+                    return I8.matmul_mxf4_bf16_int8_kmajor(
+                        ai, p["wi8"][j % NW], sa, p["wsb"][j % NW], one)
+
+                ai0, sa0, _ = I8.encode_int8(
+                    *P.fused_quantize_mx(qp["a"], h, rot_size=args.had,
+                                         method="quest",
+                                         layout="kmajor_codes"),
+                    kmajor=True)
+                ip.update(ai=ai0, sa=sa0)
+
+                def int8_ideal(d, j, p):
+                    dd = d.reshape(()).astype(jnp.float32)
+                    ai = jnp.maximum(p["ai"],
+                                     (dd * 1e-30 - 127).astype(jnp.int8))
+                    return I8.matmul_mxf4_bf16_int8_kmajor(
+                        ai, p["wi8"][j % NW], p["sa"], p["wsb"][j % NW], one)
+
+                cols += [("int8_actual", int8_actual, ip),
+                         ("int8_ideal", int8_ideal, ip)]
             rec = dict(model=args.model, fmt=args.fmt, K=K, N=N, M=M,
                        had=args.had)
             for name, op, pp in cols:
@@ -130,7 +168,8 @@ def main():
                 rec[name + "_us"] = round(t * 1e6, 1)
                 rec[name + "_tflops"] = round(2 * M * N * K / t / 1e12, 2)
             rec["speedup_vs_bf16"] = round(
-                rec["bf16_us"] / min(rec["actual_us"],
+                rec["bf16_us"] / min(rec.get("int8_actual_us", 1e30),
+                                     rec["actual_us"],
                                      rec.get("fused_us", rec["actual_us"])), 3)
             results.append(rec)
             print(json.dumps(rec), flush=True)
