@@ -147,13 +147,19 @@ def main():
 
     if nv_line is not None:
         table, K, N, had, ms = nv_line
-        w = (jax.random.normal(jax.random.PRNGKey(99), (N, K), jnp.bfloat16)
-             * 0.05)
-        gsw = jnp.float32(6.0) / jnp.maximum(
-            jnp.max(jnp.abs(w.astype(jnp.float32))), 1e-6)
-        wqt, wst = P.fused_quantize_nv(w, HS[32], gsw, rot_size=32,
-                                       layout="kmajor")
-        nvp = {"wqt": [wqt], "wst": [wst], "wT": [w.T]}
+        nv_nw = 4   # cycle weights like the MX grid (defeats VMEM residency)
+        wqts, wsts, wTs = [], [], []
+        for i in range(nv_nw):
+            w = (jax.random.normal(jax.random.PRNGKey(99 + i), (N, K),
+                                   jnp.bfloat16) * 0.05)
+            gsw = jnp.float32(6.0) / jnp.maximum(
+                jnp.max(jnp.abs(w.astype(jnp.float32))), 1e-6)
+            wqt, wst = P.fused_quantize_nv(w, HS[32], gsw, rot_size=32,
+                                           layout="kmajor")
+            wqts.append(wqt)
+            wsts.append(wst)
+            wTs.append(w.T)
+        nvp = {"wqt": wqts, "wst": wsts, "wT": wTs}
         for M in ms:
             a = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.bfloat16)
 
@@ -161,11 +167,12 @@ def main():
                 x = chain_dep(a, d)
                 xqt, xst = P.fused_quantize_nv(x, HS[32], jnp.float32(6.0),
                                                rot_size=32, layout="kmajor")
-                return P.matmul_nvf4_bf16_kmajor(xqt, p["wqt"][0], xst,
-                                                 p["wst"][0], one)
+                return P.matmul_nvf4_bf16_kmajor(xqt, p["wqt"][j % nv_nw],
+                                                 xst, p["wst"][j % nv_nw],
+                                                 one)
 
             def bf16_linear(d, j, p):
-                return chain_dep(a, d) @ p["wT"][0]
+                return chain_dep(a, d) @ p["wT"][j % nv_nw]
 
             tq = bench_scan(nv_linear, nvp)
             tb = bench_scan(bf16_linear, nvp)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import qutlass_tpu as q
+from ..ops import int8path as _i8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,13 +237,12 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         # Bit-exact vs the decode path (weights stored int8 only when
         # their deficit budget holds; activations from the rotated
         # quantizer always hold — measured).  Beats bf16 at every M.
-        from ..ops import int8path as I8
         cq, cs = q.fusedQuantizeMx(x2, h, method=method,
                                    layout="kmajor_codes")
-        ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+        ai, sa, _ = _i8.encode_int8(cq, cs, kmajor=True)
         alpha = jnp.float32(1.0) if method == "quest" else jnp.float32(1 / 9)
-        y = I8.matmul_mxf4_bf16_int8_kmajor(ai, w["wi8"], sa, w["wsb"],
-                                            alpha, out_dtype=od)
+        y = _i8.matmul_mxf4_bf16_int8_kmajor(ai, w["wi8"], sa, w["wsb"],
+                                             alpha, out_dtype=od)
         return y.reshape(*x.shape[:-1], n)
     # composed kmajor quantize + decode GEMM (the fp4-weight path);
     # abs_max stores 3x-scaled codes on both operands -> alpha 1/9

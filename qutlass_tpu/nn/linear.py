@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 import qutlass_tpu as q
+from ..ops import int8path as _i8
 from ..utils import round_up
 
 
@@ -101,10 +102,9 @@ def _quartet_fwd_impl(x, w, h, method):
     # forward contraction on the int8 MXU (~2x bf16 peak; bit-exact for
     # quantizer-produced operands — ops/int8path.py); residuals keep the
     # kmajor byte layout the backward kernels consume
-    from ..ops import int8path as I8
-    xi, sx, _ = I8.encode_int8(xqt, xst, kmajor=True)
-    wi, sw, _ = I8.encode_int8(wqt, wst, kmajor=True)
-    y = I8.matmul_mxf4_bf16_int8_kmajor(xi, wi.T, sx, sw, alpha)
+    xi, sx, _ = _i8.encode_int8(xqt, xst, kmajor=True)
+    wi, sw, _ = _i8.encode_int8(wqt, wst, kmajor=True)
+    y = _i8.matmul_mxf4_bf16_int8_kmajor(xi, wi.T, sx, sw, alpha)
     return y, (xqt, xst, mask_t, wqt, wst)
 
 
