@@ -102,9 +102,9 @@ def _quartet_fwd_impl(x, w, h, method):
     # forward contraction on the int8 MXU (~2x bf16 peak; bit-exact for
     # quantizer-produced operands — ops/int8path.py); residuals keep the
     # kmajor byte layout the backward kernels consume
-    xi, sx, _ = _i8.encode_int8(xqt, xst, kmajor=True)
-    wi, sw, _ = _i8.encode_int8(wqt, wst, kmajor=True)
-    y = _i8.matmul_mxf4_bf16_int8_kmajor(xi, wi.T, sx, sw, alpha)
+    xi, sx, _ = _i8.encode_int8_planes(xqt, xst)
+    wi, sw, _ = _i8.encode_int8_planes(wqt, wst)
+    y = _i8.matmul_mxf4_bf16_int8_kk(xi, wi, sx, sw, alpha)
     return y, (xqt, xst, mask_t, wqt, wst)
 
 
@@ -136,15 +136,17 @@ def _quartet_bwd(method, carry, gy):
                               preferred_element_type=jnp.float32
                               ).astype(jnp.bfloat16)[:m]
     if method == "quest":
-        dxh = dxh.astype(jnp.float32) * _unpack_mask_bits(mask_t.T, k)
-    dx = _unrotate(dxh.astype(jnp.float32), h).astype(jnp.bfloat16)
+        # 0/1 mask in bf16: the multiply is exact, and skipping the f32
+        # round-trip halves the traffic of this memory-bound stage
+        dxh = dxh * _unpack_mask_bits(mask_t.T, k).astype(jnp.bfloat16)
+    dx = _unrotate(dxh, h).astype(jnp.bfloat16)
 
     # wgrad: dWh = dY^T @ dq(xq) -> unrotate
     x8_s = q.mxfp4_transpose_scaled_kmajor(xqt, xst)     # [K, M] bf16
     dwh = jax.lax.dot_general(gq_s[:m], x8_s, (((0,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32
                               ).astype(jnp.bfloat16)
-    dw = _unrotate(dwh.astype(jnp.float32), h).astype(jnp.bfloat16)
+    dw = _unrotate(dwh, h).astype(jnp.bfloat16)
 
     return dx, dw, jnp.zeros_like(h)
 

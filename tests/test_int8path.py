@@ -116,3 +116,19 @@ def test_deficit_overflow_bounded_deviation():
     # bound: per-element encode error <= 2^(E-5) = 2^-5; |b| <= 6
     bound = k * 2.0 ** -5 * 6.0 + np.abs(exact) * 2.0 ** -8  # + bf16 round
     assert (err <= bound + 1e-6).all(), err.max()
+
+
+def test_plane_major_encode_bit_identical_dot():
+    """encode_int8_planes: permuted-K operands give the SAME integer
+    dot as natural-order encoding (order-invariant contraction)."""
+    rng = np.random.default_rng(23)
+    aq, asf, bq, bsf = _quantize_pair(rng, 64, 96, 512)
+    ai_n, sa_n, _ = I8.encode_int8(aq, asf, kmajor=True)
+    bi_n, sb_n, _ = I8.encode_int8(bq, bsf, kmajor=True)
+    ref = I8.matmul_mxf4_bf16_int8_kk(ai_n, bi_n, sa_n, sb_n, ONE)
+    ai_p, sa_p, _ = I8.encode_int8_planes(aq, asf)
+    bi_p, sb_p, _ = I8.encode_int8_planes(bq, bsf)
+    np.testing.assert_array_equal(np.asarray(sa_p), np.asarray(sa_n))
+    out = I8.matmul_mxf4_bf16_int8_kk(ai_p, bi_p, sa_p, sb_p, ONE)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
