@@ -69,19 +69,101 @@ def _unpack_mask_bits(mask: jax.Array, k: int) -> jax.Array:
     return bits.reshape(*mask.shape[:-1], k).astype(jnp.float32)
 
 
+def _unpack_mask_planes(mask_t: jax.Array, k: int) -> jax.Array:
+    """K-major mask bytes [K/8, M] -> plane-major 0/1 bf16 [M, K].
+
+    Plane-major column order (ops/int8path.py:encode_int8_planes):
+    column p holds natural element 2p, column K/2 + p holds 2p + 1.
+    Byte j's bits {0,2,4,6} are natural elements {8j, 8j+2, ...} ->
+    plane columns {4j .. 4j+3}; bits {1,3,5,7} feed the odd half."""
+    b = mask_t.T.astype(jnp.int32)                       # [M, K/8]
+
+    def half(bits):
+        parts = [(b >> i) & 1 for i in bits]
+        return jnp.stack(parts, axis=-1).reshape(b.shape[0], k // 2)
+
+    return jnp.concatenate([half((0, 2, 4, 6)), half((1, 3, 5, 7))],
+                           axis=-1).astype(jnp.bfloat16)
+
+
+def _unrotate_planes(v_p: jax.Array, h: jax.Array) -> jax.Array:
+    """Unrotate a tensor whose K axis is in PLANE-MAJOR order, returning
+    natural order — with the de-interleave folded into the matmul.
+
+    ``v_p`` [R, K] has column p = natural element 2p, column K/2 + p =
+    natural element 2p+1 (the layout the int8-plane contraction emits).
+    Instead of re-interleaving [R, K] (an expensive lane relayout) and
+    then multiplying by the 128-wide block-diagonal H^T, split H^T into
+    its even and odd rows: natural 128-block b draws its even elements
+    from contiguous plane columns [64b, 64b+64) and its odd elements
+    from the same range of the second half, so
+
+        dX_b = v_even_b @ H^T[0::2, :] + v_odd_b @ H^T[1::2, :]
+
+    — two half-contraction MXU matmuls, same total FLOPs as the
+    natural-order unrotation, zero relayout."""
+    rot = h.shape[-1]
+    r, k = v_p.shape
+    if k % 128 == 0:
+        from ..kernels.quantize import _h128
+        ht = _h128(h, rot).T                            # bf16 [128, 128]
+        he, ho = ht[0::2, :], ht[1::2, :]               # [64, 128] each
+        ve = v_p[:, :k // 2].reshape(-1, 64).astype(jnp.bfloat16)
+        vo = v_p[:, k // 2:].reshape(-1, 64).astype(jnp.bfloat16)
+        out = (jax.lax.dot_general(ve, he, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(vo, ho, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32))
+        return out.reshape(r, k)
+    # small-K fallback: explicit de-interleave, then the standard path
+    v = jnp.stack([v_p[:, :k // 2], v_p[:, k // 2:]], axis=-1).reshape(r, k)
+    return _unrotate(v, h)
+
+
+def _int8_quantize_rows(v: jax.Array, axis: int):
+    """Per-slice symmetric int8 quantization of f32 ``v`` along ``axis``
+    complement: returns (int8 codes, f32 scale per output slice).
+
+    Used by the ``grad_mode="int8"`` backward: 8-bit mantissas against
+    the slice max — tighter than MXFP8's 3-bit e4m3 mantissa — and the
+    contraction rides the int8 MXU at ~2x bf16 peak."""
+    a = jnp.max(jnp.abs(v), axis=axis)
+    s = a / 127.0
+    inv = jnp.where(s > 0, 1.0 / s, 0.0)
+    inv = jnp.expand_dims(inv, axis)
+    q = jnp.round(v * inv).astype(jnp.int8)
+    return q, s
+
+
 def quantize_weights_mx(w: jax.Array, h: jax.Array, method: str = "quest"):
     """Quantize a weight matrix [N, K] once (cache for inference/training)."""
     wq, ws = q.fusedQuantizeMx(w, h, method=method)
     return wq, ws
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def quartet_linear(x: jax.Array, w: jax.Array, h: jax.Array,
-                   method: str = "quest") -> jax.Array:
+                   method: str = "quest",
+                   grad_mode: str = "mxfp8") -> jax.Array:
     """y = q(x·H) @ q(w·H)^T with Quartet MXFP4 W4A4 quantization.
 
     x: [M, K] bf16, w: [N, K] bf16, h: [gs, gs] rotation.
-    Differentiable in x and w (MXFP8 backward GEMMs, clip-mask STE).
+    Differentiable in x and w; clip-mask STE (quest).  ``grad_mode``
+    picks the backward arithmetic (all three share the clip-mask STE
+    and differentiate through the SAME dequantized forward operands):
+
+    - ``"mxfp8"`` (default): reference-parity Quartet — dY is
+      square-double-quantized to MXFP8 per 32x32 tile
+      (quartet_bwd_sm120.cu flow) and the GEMMs run at bf16 MXU rate
+      (the TPU has no fp8 MXU, so MXFP8 operands are pre-decoded to
+      exact bf16 — docs/NUMERICS.md).
+    - ``"bf16"``: exact STE — dY enters the backward GEMMs unquantized
+      in bf16.  More accurate than the reference's scheme, same speed
+      class as ``mxfp8`` minus the square-double pass.
+    - ``"int8"``: TPU-native fast path — dY is quantized per output
+      row to 8-bit integers (tighter than MXFP8's 3-bit mantissa) and
+      ALL THREE GEMMs of the training step ride the int8 MXU at ~2x
+      bf16 peak.  This is the speed-of-light QAT step on TPU.
     """
     y, _ = _quartet_fwd_impl(x, w, h, method)
     return y
@@ -89,7 +171,10 @@ def quartet_linear(x: jax.Array, w: jax.Array, h: jax.Array,
 
 def _quartet_fwd_impl(x, w, h, method):
     """Forward on the kmajor composed path (zero layout transforms);
-    residuals stay in the kmajor layout the backward kernels consume."""
+    residuals are the forward's own int8 planes + pow2 row scales
+    (exact dequantization: |mantissa| <= 96 with a 4-bit significand
+    times a power of two is exact in bf16), so the backward needs no
+    re-decode or transpose kernels."""
     if method == "quest":
         xqt, xst, mask_t = q.fusedQuantizeMx(x, h, method=method,
                                              return_mask=True,
@@ -100,53 +185,87 @@ def _quartet_fwd_impl(x, w, h, method):
     wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
     alpha = jnp.full((1,), 1.0 if method == "quest" else 1.0 / 9.0, jnp.float32)
     # forward contraction on the int8 MXU (~2x bf16 peak; bit-exact for
-    # quantizer-produced operands — ops/int8path.py); residuals keep the
-    # kmajor byte layout the backward kernels consume
+    # quantizer-produced operands — ops/int8path.py)
     xi, sx, _ = _i8.encode_int8_planes(xqt, xst)
     wi, sw, _ = _i8.encode_int8_planes(wqt, wst)
     y = _i8.matmul_mxf4_bf16_int8_kk(xi, wi, sx, sw, alpha)
-    return y, (xqt, xst, mask_t, wqt, wst)
+    return y, (xi, sx, wi, sw, mask_t)
 
 
-def _quartet_fwd(x, w, h, method):
+def _quartet_fwd(x, w, h, method, grad_mode):
     y, res = _quartet_fwd_impl(x, w, h, method)
     return y, (res, h, x.shape, w.shape)
 
 
-def _quartet_bwd(method, carry, gy):
-    """Quartet backward on the scaled-bf16 fast path.
+def _quartet_bwd(method, grad_mode, carry, gy):
+    """Quartet backward from the forward's int8-plane residuals.
 
-    The MXFP8 operands are produced pre-decoded (``e4m3_value * pow2``
-    is exact in bf16 — backward_square_double_scaled /
-    mxfp4_transpose_scaled), so the dgrad/wgrad contractions run as
-    plain bf16 MXU matmuls at full speed instead of through the
-    decode-bound mxf8 Pallas GEMMs (82 vs 193 TF/s on v5e).  Same
-    quantization points as the reference op graph; zero padding needs
-    no scale patching because pad elements decode to 0.
+    The dequantized operands are rebuilt as ``plane * 2^(E-4)`` — the
+    row scale is a pure power of two, so the bf16 product is EXACT and
+    equals the reference's MXFP8-transposed operand values
+    (mxfp4_transpose_mxfp8 output decoded; e2m1 x e8m0 fits e4m3 x e8m0
+    losslessly).  Contracting in the plane-major layout keeps the whole
+    backward relayout-free: the dgrad/wgrad outputs come out with K in
+    plane order and `_unrotate_planes` folds the de-interleave into the
+    block-diagonal unrotation for free.
+
+    grad_mode selects how dY enters the GEMMs — see quartet_linear.
+    Reference flow: SURVEY.md §3.4, quartet_bwd_sm120.cu:417-496.
     """
-    (xqt, xst, mask_t, wqt, wst), h, xshape, wshape = carry
+    (xi, sx, wi, sw, mask_t), h, xshape, wshape = carry
     m, k = xshape
-    gy = gy.astype(jnp.bfloat16)
+    al = 1.0 if method == "quest" else 1.0 / 9.0
+    gy32 = gy.astype(jnp.float32)
 
-    gq_s = q.backward_square_double_scaled(gy)           # [Mp, N] bf16
+    if grad_mode == "mxfp8":
+        # reference-parity: square-double MXFP8 quantization of dY
+        # (pre-decoded to exact bf16), bf16-rate GEMMs
+        gq_s = q.backward_square_double_scaled(gy.astype(jnp.bfloat16))
+        gq_s = gq_s[:m]                                  # [M, N] bf16
+        # fold the pow2 row scales of the dequantized operands into the
+        # (row-quantized) gradient side: exact in bf16
+        gyw = (gq_s.astype(jnp.float32) * (sw[None, :] * al)
+               ).astype(jnp.bfloat16)
+        gyx = (gq_s.astype(jnp.float32) * (sx[:m, None] * al)
+               ).astype(jnp.bfloat16)
+        dxh = jax.lax.dot_general(gyw, wi.astype(jnp.bfloat16),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dwh = jax.lax.dot_general(gyx, xi[:, :m].astype(jnp.bfloat16),
+                                  (((0,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    elif grad_mode == "bf16":
+        gyw = (gy32 * (sw[None, :] * al)).astype(jnp.bfloat16)
+        gyx = (gy32 * (sx[:m, None] * al)).astype(jnp.bfloat16)
+        dxh = jax.lax.dot_general(gyw, wi.astype(jnp.bfloat16),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dwh = jax.lax.dot_general(gyx, xi[:, :m].astype(jnp.bfloat16),
+                                  (((0,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    elif grad_mode == "int8":
+        # all-int8-MXU step: per-row 8-bit gradient quantization
+        # (int32-safe: |g| <= 127, |plane| <= 96 -> K < 176k)
+        gyw = gy32 * (sw[None, :] * al)
+        gq_d, sg_d = _int8_quantize_rows(gyw, axis=1)    # [M, N], [M]
+        dxh = jax.lax.dot_general(gq_d, wi, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32) * sg_d[:, None]
+        gyx = gy32 * (sx[:m, None] * al)
+        gq_w, sg_w = _int8_quantize_rows(gyx, axis=0)    # [M, N], [N]
+        dwh = jax.lax.dot_general(gq_w, xi[:, :m], (((0,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32) * sg_w[:, None]
+    else:
+        raise ValueError(f"unknown grad_mode {grad_mode!r}")
 
-    # dgrad: dXh = dY @ dq(wq)  -> mask STE -> unrotate
-    w8_s = q.mxfp4_transpose_scaled_kmajor(wqt, wst)     # [K, N] bf16
-    dxh = jax.lax.dot_general(gq_s, w8_s, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)[:m]
+    dxh = dxh.astype(jnp.bfloat16)
     if method == "quest":
-        # 0/1 mask in bf16: the multiply is exact, and skipping the f32
-        # round-trip halves the traffic of this memory-bound stage
-        dxh = dxh * _unpack_mask_bits(mask_t.T, k).astype(jnp.bfloat16)
-    dx = _unrotate(dxh, h).astype(jnp.bfloat16)
-
-    # wgrad: dWh = dY^T @ dq(xq) -> unrotate
-    x8_s = q.mxfp4_transpose_scaled_kmajor(xqt, xst)     # [K, M] bf16
-    dwh = jax.lax.dot_general(gq_s[:m], x8_s, (((0,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)
-    dw = _unrotate(dwh, h).astype(jnp.bfloat16)
+        # 0/1 mask in bf16 (exact multiply), unpacked straight into the
+        # plane-major column order the contraction emitted
+        dxh = dxh * _unpack_mask_planes(mask_t, k)
+    dx = _unrotate_planes(dxh, h).astype(jnp.bfloat16)
+    dw = _unrotate_planes(dwh.astype(jnp.bfloat16), h).astype(jnp.bfloat16)
 
     return dx, dw, jnp.zeros_like(h)
 
