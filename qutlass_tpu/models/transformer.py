@@ -119,8 +119,10 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
     NV); the per-weight global scale 6/amax(w·H) is stored alongside.
     The lm head stays bf16 (standard practice).
 
-    ``weight_format`` (MX only) selects the stored MXFP4 evaluator
-    operand:
+    ``weight_format`` selects the stored evaluator operand (both
+    formats; for NV the int8 operand is plane-major [K, N] with an f32
+    row scale and carries a bounded rounding instead of MX's
+    exactness-by-deficit contract):
       "int8"  per-row-exponent int8 mantissas (ops/int8path.py) — the
               int8-MXU path, fastest at every M on v5e (1 byte/param).
               Falls back to fp4 per tensor when the row exponent spread
@@ -140,6 +142,15 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
                 jnp.max(jnp.abs(wh)).astype(jnp.float32), 1e-6)
             wqt, wst = q.fusedQuantizeNv(w, h, gsw, method=m,
                                          layout="kmajor")
+            if weight_format in ("int8", "both"):
+                # int8-MXU NV evaluator: plane-major int8 + f32 row
+                # scale (bounded rounding <= rowmax/254 — no exactness
+                # regime exists for e4m3 scales; ops/int8path.py)
+                nvi8, nvsb = I8.prepare_weight_nv_int8(wqt, wst)
+                d = {"nvi8": nvi8, "nvsb": nvsb, "gs": gsw}
+                if weight_format == "both":
+                    d.update(wqt=wqt, wst=wst)
+                return d
             return {"wqt": wqt, "wst": wst, "gs": gsw}
         wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
         if weight_format in ("int8", "both"):
@@ -213,7 +224,10 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         return jax.lax.dot_general(
             x, w, (((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(od)
-    if "wi8" in w:
+    if "nvi8" in w:
+        k, n = w["nvi8"].shape
+        wqt = wst = None
+    elif "wi8" in w:
         n, k = w["wi8"].shape
         wqt = wst = None
     else:
@@ -228,8 +242,15 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         xqt, xst = q.fusedQuantizeNv(x2, h, gsx, method="abs_max",
                                      layout="kmajor")
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
-        y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
-                                      out_dtype=od)
+        if "nvi8" in w:
+            # int8-MXU NV evaluator (~2x bf16 peak; bounded rounding
+            # <= rowmax/254 per operand — ops/int8path.py)
+            xi, sx = _i8.encode_nv_int8_planes(xqt, xst)
+            y = _i8.matmul_mxf4_bf16_int8_kk(xi, w["nvi8"], sx, w["nvsb"],
+                                             alpha, out_dtype=od)
+        else:
+            y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
+                                          out_dtype=od)
         return y.reshape(*x.shape[:-1], n)
     if "wi8" in w:
         # int8-MXU evaluator (ops/int8path.py): quantize to unpacked

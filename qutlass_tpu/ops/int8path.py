@@ -207,3 +207,58 @@ def encode_int8_planes(packed, scale_bytes):
 
     a = jnp.concatenate([enc(packed & 0xF), enc(packed >> 4)], axis=0)
     return a, jnp.exp2((e - 4).astype(jnp.float32)), jnp.max(d)
+
+
+@jax.jit
+def encode_nv_int8_planes(packed, scale_bytes):
+    """Packed K-major NVFP4 -> plane-major int8 operand + f32 row scale.
+
+    NVFP4 (group 16, e4m3 scales) has no pow2-only scale structure, so
+    unlike the MX encode there is no exactness regime; instead the
+    dequantized contribution v = (m2/2) * s_g is computed EXACTLY in
+    f32 (both factors have 4-bit significands) and symmetric-quantized
+    per row to int8:  a' = rtne(v / sigma), sigma = rowmax|v| / 127.
+
+    Bound: |a' * sigma - v| <= sigma/2 = rowmax/254 per element — an
+    order below e2m1's own quantization step (1/2 grid step ~ rowmax/24
+    at the grid top), and far inside the reference's NV tolerance.
+
+    Layout matches :func:`encode_int8_planes` (row p = element 2p, row
+    K/2+p = element 2p+1); dot two such operands with
+    :func:`matmul_mxf4_bf16_int8_kk` (the rank-1 epilogue is format
+    agnostic) and pass alpha = 1/(gs_a * gs_b).
+
+    packed u8 [K/2, R], scales u8 (e4m3) [K/16, R] ->
+    (a' int8 [K, R] plane-major, row_scale f32 [R]).
+
+    Reference counterpart: the NVFP4 tensor-core GEMM
+    (gemm.cu:250-326); this is its int8-MXU mapping (~2x bf16 peak on
+    v5e), with a documented rounding bound instead of fp4-exactness.
+    """
+    from ..formats import codecs as C
+
+    k2, rows = packed.shape
+    g = scale_bytes.shape[0]
+    s = C.e4m3_decode_f32(scale_bytes.astype(jnp.int32))     # [K/16, R]
+    s = jnp.where(jnp.isnan(s), 0.0, s)                      # NaN byte -> dead group
+
+    def dq(nib):
+        m = _codes_to_m2(nib).astype(jnp.float32)            # exact
+        return (m.reshape(g, 8, rows) * (0.5 * s)[:, None, :]
+                ).reshape(k2, rows)                          # exact f32
+
+    v = jnp.concatenate([dq(packed & 0xF), dq(packed >> 4)], axis=0)
+    sigma = jnp.max(jnp.abs(v), axis=0) / 127.0              # [R]
+    inv = jnp.where(sigma > 0, 1.0 / sigma, 0.0)
+    a = jnp.round(v * inv[None, :]).astype(jnp.int8)
+    return a, sigma
+
+
+def prepare_weight_nv_int8(wqt, wst):
+    """One-time NVFP4 weight prep: kmajor packed (wqt u8 [K/2, N], wst
+    e4m3 u8 [K/16, N]) -> (w_i8 [K, N] plane-major int8, sb [N] f32).
+
+    Pair with an activation encoded by :func:`encode_nv_int8_planes`
+    in :func:`matmul_mxf4_bf16_int8_kk`; fold the two global scales
+    into alpha."""
+    return encode_nv_int8_planes(wqt, wst)

@@ -132,3 +132,70 @@ def test_plane_major_encode_bit_identical_dot():
     out = I8.matmul_mxf4_bf16_int8_kk(ai_p, bi_p, sa_p, sb_p, ONE)
     np.testing.assert_array_equal(np.asarray(out, np.float32),
                                   np.asarray(ref, np.float32))
+
+
+def _quantize_nv_pair(rng, m, n, k):
+    a, b = randn_bf16(rng, m, k), randn_bf16(rng, n, k, scale=0.05)
+    h = bf16_hadamard(16)
+    gsa = jnp.asarray(1.3, jnp.float32)
+    gsb = jnp.asarray(21.0, jnp.float32)
+    aq, asf = E.fused_quantize_nv(a, h, gsa, rot_size=16, method="abs_max",
+                                  layout="kmajor")
+    bq, bsf = E.fused_quantize_nv(b, h, gsb, rot_size=16, method="abs_max",
+                                  layout="kmajor")
+    return (a, b, h, gsa, gsb), (aq, asf, bq, bsf)
+
+
+def _plane_order(dq_nat):
+    """natural [rows, K] fp64 -> plane-major [K, rows]."""
+    t = dq_nat.T                                   # [K, rows]
+    return np.concatenate([t[0::2], t[1::2]], axis=0)
+
+
+def test_encode_nv_int8_bound():
+    """Reconstruction a' * sigma is within sigma/2 of the exact
+    dequantized NVFP4 value, elementwise (the documented bound)."""
+    rng = np.random.default_rng(0)
+    (a, _, h, gsa, _), (aq, asf, _, _) = _quantize_nv_pair(rng, 64, 32, 256)
+    ai, sig = I8.encode_nv_int8_planes(aq, asf)
+    ref = G.quantize_nv(to_np64(a), to_np64(h), 16, float(gsa), "abs_max")
+    v_plane = _plane_order(ref["dq"])              # [K, M] fp64
+    rec = np.asarray(ai, np.float64) * np.asarray(sig, np.float64)[None, :]
+    err = np.abs(rec - v_plane)
+    # sigma/2 plus f32-rounding slack (sigma and the division are f32)
+    bound = np.asarray(sig, np.float64)[None, :] / 2 * (1 + 1e-5) + 1e-12
+    assert (err <= bound).all(), float((err / bound).max())
+
+
+def test_nv_int8_gemm_error_bound():
+    """Int8-NV GEMM vs the fp64 dequant matmul: per-output error within
+    the accumulation of the per-element bounds."""
+    rng = np.random.default_rng(1)
+    m, n, k = 64, 96, 512
+    (a, b, h, gsa, gsb), (aq, asf, bq, bsf) = _quantize_nv_pair(
+        rng, m, n, k)
+    ai, sa = I8.encode_nv_int8_planes(aq, asf)
+    bi, sb = I8.encode_nv_int8_planes(bq, bsf)
+    alpha = (1.0 / (gsa * gsb)).reshape(1)
+    y = np.asarray(I8.matmul_mxf4_bf16_int8_kk(ai, bi, sa, sb, alpha,
+                                               out_dtype=jnp.float32),
+                   np.float64)
+
+    ra = G.quantize_nv(to_np64(a), to_np64(h), 16, float(gsa), "abs_max")
+    rb = G.quantize_nv(to_np64(b), to_np64(h), 16, float(gsb), "abs_max")
+    yref = (ra["dq"] @ rb["dq"].T) / (float(gsa) * float(gsb))
+
+    # |err| <= alpha * sum_k (|va|*sb/2 + |vb|*sa/2 + sa*sb/4)
+    sa64 = np.asarray(sa, np.float64)
+    sb64 = np.asarray(sb, np.float64)
+    va = np.abs(ra["dq"]).sum(axis=1)              # [M]
+    vb = np.abs(rb["dq"]).sum(axis=1)              # [N]
+    bound = (va[:, None] * sb64[None, :] / 2
+             + vb[None, :] * sa64[:, None] / 2
+             + k * sa64[:, None] * sb64[None, :] / 4
+             ) / (float(gsa) * float(gsb)) * (1 + 1e-4) + 1e-9
+    assert (np.abs(y - yref) <= bound).all(), \
+        float((np.abs(y - yref) / bound).max())
+    # and the error is far below the signal
+    rel = np.abs(y - yref).max() / (np.abs(yref).max() + 1e-12)
+    assert rel < 2e-2, rel

@@ -168,3 +168,48 @@ def test_tp_generate_tokens_equal_single_device(setup):
                 f"first divergence at row {b} step {t}: "
                 f"ref {ref[b, t]} vs tp {got[b, t]}; prefill logit "
                 f"deviation {dev:.2e}, min top-2 margin {margin:.2e}")
+
+
+def test_nv_int8_shard_blocked_layout():
+    """Unit invariant for `_nv_int8_shard_blocked`: a contiguous K-split
+    of the reordered operand is each shard's LOCAL plane-major layout
+    (row p = local element 2p, row Kl/2+p = local element 2p+1)."""
+    rng = np.random.default_rng(0)
+    k, n, tp = 64, 5, 4
+    v = rng.integers(-127, 128, size=(k, n)).astype(np.int8)  # natural [K, N]
+    gplane = np.concatenate([v[0::2], v[1::2]], axis=0)       # global plane-major
+    blocked = np.asarray(TP._nv_int8_shard_blocked(jnp.asarray(gplane), tp))
+    kl = k // tp
+    for s in range(tp):
+        vs = v[s * kl:(s + 1) * kl]
+        expect = np.concatenate([vs[0::2], vs[1::2]], axis=0)
+        np.testing.assert_array_equal(blocked[s * kl:(s + 1) * kl], expect)
+
+
+@pytest.mark.parametrize("weight_format", ["fp4", "int8"])
+def test_tp_prefill_nvfp4(weight_format):
+    """NVFP4 TP serving, both evaluator formats.  Row-parallel layers
+    quantize activations with per-shard global scales (local amax), so
+    TP differs from single-device below the quantization-noise floor —
+    the contract is cosine-level (same as the quantized MX prefill
+    bound); the int8 format must also route through the sharded
+    nvi8/nvsb operands (asserted on the stored tree)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    qparams = quantize_model_weights(cfg, params, h, fmt="nv",
+                                     weight_format=weight_format)
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    if weight_format == "int8":
+        assert all("nvi8" in l["o_proj"] for l in qparams["layers"])
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                              cfg.vocab_size)
+    ref, _ = prefill(cfg, qparams, toks, h, max_len=16, quantized=True)
+    tpl, _ = TP.tp_prefill(cfg, sp, toks, h, mesh, max_len=16)
+    a = np.asarray(tpl, np.float32).ravel()
+    b = np.asarray(ref, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.95, cos
