@@ -6,7 +6,7 @@ Llama-3.1-70B: 8192x8192, 8192x57344, 28672x8192), Hadamard size in
 {32, 64, 128}, M in {1,4,8,16,32,64,128,256,512,1024,2048}; activation
 path = fused quantize -> int8-MXU GEMM (ops/int8path.py — the
 production linear) with pre-prepared weights; TFLOP/s = 2*M*N*K/t.
-An NVFP4 headline line (decode-GEMM path) is appended.
+An NVFP4 headline line (int8-MXU production path) is appended.
 
 Prints ONE JSON line:
   metric      mxfp4_w4a4_linear_speedup_vs_bf16_geomean
@@ -148,7 +148,7 @@ def main():
     if nv_line is not None:
         table, K, N, had, ms = nv_line
         nv_nw = 4   # cycle weights like the MX grid (defeats VMEM residency)
-        wqts, wsts, wTs = [], [], []
+        nvi8s, nvsbs, wTs = [], [], []
         for i in range(nv_nw):
             w = (jax.random.normal(jax.random.PRNGKey(99 + i), (N, K),
                                    jnp.bfloat16) * 0.05)
@@ -156,27 +156,33 @@ def main():
                 jnp.max(jnp.abs(w.astype(jnp.float32))), 1e-6)
             wqt, wst = P.fused_quantize_nv(w, HS[32], gsw, rot_size=32,
                                            layout="kmajor")
-            wqts.append(wqt)
-            wsts.append(wst)
+            ni, nsb = I8.prepare_weight_nv_int8(wqt, wst)
+            nvi8s.append(ni)
+            nvsbs.append(nsb)
             wTs.append(w.T)
-        nvp = {"wqt": wqts, "wst": wsts, "wT": wTs}
+        nvp = {"nvi8": nvi8s, "nvsb": nvsbs, "wT": wTs}
         for M in ms:
             a = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.bfloat16)
 
             def nv_linear(d, j, p):
+                # production NV path (models/transformer.py _linear with
+                # weight_format="int8"): fused quantize+int8-encode
+                # kernel -> int8-MXU GEMM with rank-1 fp32 fixup
+                # (natural K order on both operands)
                 x = chain_dep(a, d)
-                xqt, xst = P.fused_quantize_nv(x, HS[32], jnp.float32(6.0),
-                                               rot_size=32, layout="kmajor")
-                return P.matmul_nvf4_bf16_kmajor(xqt, p["wqt"][j % nv_nw],
-                                                 xst, p["wst"][j % nv_nw],
-                                                 one)
+                xi, sx, _ = P.fused_quantize_nv_int8(x, HS[32],
+                                                     jnp.float32(6.0),
+                                                     rot_size=32)
+                return I8.matmul_mxf4_bf16_int8_kk(xi, p["nvi8"][j % nv_nw],
+                                                   sx, p["nvsb"][j % nv_nw],
+                                                   one)
 
             def bf16_linear(d, j, p):
                 return chain_dep(a, d) @ p["wT"][j % nv_nw]
 
             tq = bench_scan(nv_linear, nvp)
             tb = bench_scan(bf16_linear, nvp)
-            log(f"NVFP4 {table} K={K} N={N} M={M:5d}: "
+            log(f"NVFP4 {table} K={K} N={N} M={M:5d}: int8-path "
                 f"{tq*1e6:9.1f}us ({2*M*N*K/tq/1e12:6.2f} TF/s) "
                 f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x")
 

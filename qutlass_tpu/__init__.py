@@ -46,6 +46,8 @@ __all__ = [
     "backward_square_double_scaled", "mxfp4_transpose_scaled",
     "mxfp4_transpose_scaled_kmajor",
     "fused_quantize_mx", "fused_quantize_nv",
+    "fusedQuantizeMxInt8", "fusedQuantizeNvInt8",
+    "fused_quantize_mx_int8", "fused_quantize_nv_int8",
     "to_blocked", "to_blocked_swizzled", "pad_to_block",
     "get_padded_shape_mx", "get_padded_shape_nv",
     "hadamard_matrix", "dct_matrix", "identity_matrix",
@@ -179,9 +181,55 @@ def fusedQuantizeNv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
                 layout=layout)
 
 
+def fusedQuantizeMxInt8(a: jax.Array, h: jax.Array, *,
+                        method: str = "quest"):
+    """Fused rotation + MXFP4 quantization + int8-MXU encode (one
+    kernel on TPU — the production activation path of the int8
+    evaluator, ops/int8path.py).
+
+    Returns (a' int8 [K, rows] natural K order, row_scale f32 [rows]
+    = 2^(E-4), e8m0 scale bytes u8 [K/32, rows]).  Feed (a',
+    row_scale) with a :func:`~qutlass_tpu.ops.int8path.prepare_weight_int8`
+    weight to ``matmul_mxf4_bf16_int8_kmajor``.  TPU-native extension
+    (no reference counterpart: the reference's fp4 tensor cores need no
+    int8 bridge).
+    """
+    if method not in ("quest", "abs_max"):
+        raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
+    _val.check_bf16("a", a)
+    k = a.shape[-1]
+    rot = _val.check_rotation(h, k)
+    _val.check_group_dim("fusedQuantizeMxInt8", k, 32)
+    kn = _route(k % 128 == 0, a.shape)
+    impl = kn.fused_quantize_mx_int8 if kn else _emu.fused_quantize_mx_int8
+    return impl(a, h, rot_size=rot, method=method)
+
+
+def fusedQuantizeNvInt8(a: jax.Array, h: jax.Array, global_scale: jax.Array,
+                        *, method: str = "abs_max"):
+    """Fused rotation + NVFP4 quantization + int8-MXU encode.
+
+    Returns (a' int8 [K, rows] natural K order, sigma f32 [rows],
+    e4m3 scale bytes u8 [K/16, rows]); the encode carries the
+    documented bounded rounding (<= rowmax/254 per element —
+    ops/int8path.py).  TPU-native extension.
+    """
+    if method not in ("quest", "abs_max"):
+        raise ValueError(f"invalid method {method!r}, must be 'quest' or 'abs_max'")
+    _val.check_bf16("a", a)
+    k = a.shape[-1]
+    rot = _val.check_rotation(h, k)
+    _val.check_group_dim("fusedQuantizeNvInt8", k, 16)
+    kn = _route(k % 128 == 0, a.shape)
+    impl = kn.fused_quantize_nv_int8 if kn else _emu.fused_quantize_nv_int8
+    return impl(a, h, global_scale, rot_size=rot, method=method)
+
+
 # snake_case aliases
 fused_quantize_mx = fusedQuantizeMx
 fused_quantize_nv = fusedQuantizeNv
+fused_quantize_mx_int8 = fusedQuantizeMxInt8
+fused_quantize_nv_int8 = fusedQuantizeNvInt8
 
 
 # ---------------------------------------------------------------------------

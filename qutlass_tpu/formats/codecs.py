@@ -101,6 +101,19 @@ def e2m1_rtne_codes_bits(q: jax.Array) -> jax.Array:
 e2m1_rtne_codes = e2m1_rtne_codes_bits
 
 
+def e2m1_codes_to_m2(codes: jax.Array) -> jax.Array:
+    """e2m1 codes -> signed integer 2*value, int32 (the int8-MXU
+    evaluator's mantissa domain — ops/int8path.py).
+
+    Gather-free (two selects): mag codes 0..4 are the value itself;
+    5, 6, 7 map to 6, 8, 12 = (2*mag-4, 2*mag-4, 12).
+    """
+    c = codes.astype(jnp.int32)
+    mag = c & 7
+    m = jnp.where(mag < 5, mag, jnp.where(mag < 7, 2 * mag - 4, 12))
+    return jnp.where(c >= 8, -m, m)
+
+
 def e2m1_decode_f32(codes: jax.Array) -> jax.Array:
     """int32 e2m1 codes (0..15) -> exact fp32 values."""
     mag = codes & 7

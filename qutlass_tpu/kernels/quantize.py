@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import codecs as C
 from ..utils import ceil_div, round_up
-from .tuning import quantize_tiles
+from .tuning import quantize_int8_tiles, quantize_tiles
 
 
 def _rotate_tile(x, h128):
@@ -265,3 +265,245 @@ def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
     if kmajor:
         return res[0], res[1]
     return res[0].reshape(*a.shape[:-1], k // 2), _pad_scales(res[1].T, pr, pc)
+
+
+# ---------------------------------------------------------------------------
+# fused quantize -> int8-MXU operand (the production activation path)
+# ---------------------------------------------------------------------------
+#
+# The int8 evaluator (ops/int8path.py) needs each row's max group
+# exponent (MX) / max |dequant value| (NV) over ALL of K before any
+# element can be emitted, so a K-tiled quantize must be followed by a
+# second full-tensor encode pass (~10 MB write + ~12 MB read at
+# M=2048 K=5120 — measured 64-80 us on top of the quantize).  These
+# kernels fuse the two: the int8 output block spans the WHOLE K
+# ([K, bm], index map ignores the K grid axis, so the block stays
+# VMEM-resident and is revisited), each K-step stores raw e2m1 codes
+# into it and accumulates the per-row running statistic in scratch,
+# and the final K-step reads the codes back, applies the row rescale,
+# and overwrites the block with the finished int8 operand — one HBM
+# write of the operand instead of codes-out + codes-in + int8-out.
+#
+# Bitwise contract: identical to fused_quantize_{mx,nv}(kmajor) +
+# encode_{int8,nv_int8} (the XLA emulation twins) — same codec
+# formulas from formats/codecs.py, same bf16/f32 rounding points.
+# Reference counterpart: the reference quantizes and GEMMs in separate
+# launches too (fused_quantize_mx.cu -> gemm.cu); this fusion is the
+# TPU-side improvement the revisit-capable Pallas pipeline allows.
+#
+# MEASURED OUTCOME (v5e, K=N=5120; exp_fused_int8_quant2.py): as a
+# standalone quantize+encode the fusion wins clearly at M <= 256
+# (7.8 vs 23.8 us at M=16, 13.4 vs 25.6 at M=256) — use it when the
+# operand is the product (TP collectives, caching).  Composed with the
+# int8 GEMM in one jit it does NOT win (458 vs 436 us at M=2048): XLA
+# overlaps the separate encode's VPU work under the MXU dot (436 <
+# 499 sum-of-parts), while the in-kernel rescale serializes against
+# the quantize.  models/_linear therefore keeps the two-pass
+# composition; this op is public API for operand producers.
+
+def _quantize_mx_int8_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref, emax,
+                             *, method, nk):
+    j = pl.program_id(1)
+    bm, bk = x_ref.shape
+    xt = _rotate_tile_t(x_ref[...], h_ref[...])  # [bk, bm] f32, K on sublanes
+    g = xt.reshape(bk // 32, 32, bm)
+
+    if method == "quest":
+        scale = C.mx_scale_quest(jnp.sum(g, axis=1), jnp.sum(g * g, axis=1),
+                                 32.0)
+    else:
+        scale = C.mx_scale_absmax(jnp.max(jnp.abs(g), axis=1))
+    _, byte = C.pow2_floor_e8m0(scale)          # i32 [bk/32, bm]
+    inv = C.e8m0_recip_f32(byte)
+    q = (g * inv[:, None, :]).reshape(bk, bm)
+    if method != "quest":
+        q = q * 3.0
+    codes = C.e2m1_rtne_codes(q)                # i32 [bk, bm]
+
+    a_ref[pl.ds(j * bk, bk), :] = codes.astype(jnp.int8)
+    s_ref[pl.ds(j * (bk // 32), bk // 32), :] = byte.astype(jnp.uint8)
+    tmax = jnp.max(byte, axis=0, keepdims=True)  # [1, bm] byte-domain
+
+    @pl.when(j == 0)
+    def _init():
+        emax[...] = tmax
+
+    @pl.when(j > 0)
+    def _acc():
+        emax[...] = jnp.maximum(emax[...], tmax)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        e = emax[...]                            # [1, bm] row max byte
+
+        # chunk the rescale over K (bk at a time): the f32 working set
+        # stays ~bk*bm instead of the full k*bm (13 MB at K=25600 —
+        # over VMEM).  Once E is known the rescale is elementwise.
+        def body(c, _):
+            seb = s_ref[pl.ds(c * (bk // 32), bk // 32), :
+                        ].astype(jnp.int32)
+            # m * 2^(3-d): pow2 scaling of a 4-bit integer never
+            # rounds in EITHER bf16 or f32 (significand preserved,
+            # only the exponent moves), so this f32 form is bitwise
+            # identical to the emulation's bf16 form
+            # (ops/int8path.encode_int8) down to the d > 133 underflow
+            # regime, unreachable through the floored e8m0 quantizer.
+            # f32 because Mosaic lowers neither bf16 roundeven nor the
+            # bf16 [G, 1, bm] broadcast.
+            mult = jnp.exp2((3 - (e - seb)).astype(jnp.float32))
+            m = C.e2m1_codes_to_m2(
+                a_ref[pl.ds(c * bk, bk), :].astype(jnp.int32)
+            ).astype(jnp.float32)
+            q2 = (m.reshape(bk // 32, 32, bm)
+                  * mult[:, None, :]).reshape(bk, bm)
+            r = jnp.round(q2)                    # exact small ints
+            a_ref[pl.ds(c * bk, bk), :] = r.astype(jnp.int32
+                                                   ).astype(jnp.int8)
+            return 0
+
+        lax.fori_loop(0, nk, body, 0)
+        sa_ref[...] = jnp.exp2((e - 131).astype(jnp.float32))  # 2^(E-4)
+
+
+def _quantize_nv_int8_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref, sg_ref,
+                             vmax, *, method, nk):
+    j = pl.program_id(1)
+    bm, bk = x_ref.shape
+    xt = _rotate_tile_t(x_ref[...], h_ref[...])
+    g = xt.reshape(bk // 16, 16, bm)
+
+    if method == "quest":
+        byte, mul = C.nv_quest_scale_bytes(jnp.sum(g, axis=1),
+                                           jnp.sum(g * g, axis=1))
+    else:
+        byte, mul = C.nv_absmax_scale_bytes(jnp.max(jnp.abs(g), axis=1),
+                                            gs_ref[0, 0])
+    q = (g * mul[:, None, :]).reshape(bk, bm)
+    codes = C.e2m1_rtne_codes(q)
+
+    a_ref[pl.ds(j * bk, bk), :] = codes.astype(jnp.int8)
+    s_ref[pl.ds(j * (bk // 16), bk // 16), :] = byte.astype(jnp.uint8)
+    # running per-row max |dequant value| (exact f32: both factors have
+    # 4-bit significands) — mirrors ops/int8path.encode_nv_int8
+    s = C.e4m3_decode_f32(byte.astype(jnp.int32))
+    s = jnp.where(jnp.isnan(s), 0.0, s)
+    m = C.e2m1_codes_to_m2(codes).astype(jnp.float32)
+    v = (m.reshape(bk // 16, 16, bm) * (0.5 * s)[:, None, :]).reshape(bk, bm)
+    tmax = jnp.max(jnp.abs(v), axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        vmax[...] = tmax
+
+    @pl.when(j > 0)
+    def _acc():
+        vmax[...] = jnp.maximum(vmax[...], tmax)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        sigma = vmax[...] / 127.0                # [1, bm]
+        inv = jnp.where(sigma > 0, 1.0 / sigma, 0.0)
+
+        # chunked over K like the MX finish (VMEM: ~bk*bm f32, not k*bm)
+        def body(c, _):
+            sb = s_ref[pl.ds(c * (bk // 16), bk // 16), :
+                       ].astype(jnp.int32)
+            s_c = C.e4m3_decode_f32(sb)
+            s_c = jnp.where(jnp.isnan(s_c), 0.0, s_c)
+            m_c = C.e2m1_codes_to_m2(
+                a_ref[pl.ds(c * bk, bk), :].astype(jnp.int32)
+            ).astype(jnp.float32)
+            v_c = (m_c.reshape(bk // 16, 16, bm)
+                   * (0.5 * s_c)[:, None, :]).reshape(bk, bm)
+            a2 = jnp.round(v_c * inv)
+            a_ref[pl.ds(c * bk, bk), :] = a2.astype(jnp.int32
+                                                    ).astype(jnp.int8)
+            return 0
+
+        lax.fori_loop(0, nk, body, 0)
+        sg_ref[...] = sigma
+
+
+def _int8_out_specs(k, rows, bm, gs):
+    """(out_shapes, out_specs) shared by both fused-int8 quantizers:
+    full-K revisited int8 operand, full-K scale bytes, [1, rows] row
+    scale."""
+    return (
+        [jax.ShapeDtypeStruct((k, rows), jnp.int8),
+         jax.ShapeDtypeStruct((k // gs, rows), jnp.uint8),
+         jax.ShapeDtypeStruct((1, rows), jnp.float32)],
+        [pl.BlockSpec((k, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+         pl.BlockSpec((k // gs, bm), lambda i, j: (0, i),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((1, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM)],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_quantize_mx_int8(a: jax.Array, h: jax.Array, *, rot_size: int,
+                           method: str = "quest"):
+    """Fused MXFP4 quantize + int8-MXU encode (one kernel, one pass).
+
+    Returns (a' int8 [K, rows] natural K order, row_scale f32 [rows]
+    = 2^(E-4), scale bytes u8 [K/32, rows]).  Bitwise equal to
+    ``fused_quantize_mx(layout="kmajor_codes")`` +
+    ``ops.int8path.encode_int8(kmajor=True)``.
+    """
+    k = a.shape[-1]
+    rows = a.size // k
+    x2 = a.reshape(rows, k)
+    bm, bk = quantize_int8_tiles(rows, k)
+    nk = k // bk
+    grid = (ceil_div(rows, bm), nk)
+    out_shapes, out_specs = _int8_out_specs(k, rows, bm, 32)
+    ai, sb, sa = pl.pallas_call(
+        functools.partial(_quantize_mx_int8_kernel, method=method, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((1, bm), jnp.int32)],
+    )(x2, _h128(h, rot_size))
+    return ai, sa.reshape(rows), sb
+
+
+@functools.partial(jax.jit, static_argnames=("rot_size", "method"))
+def fused_quantize_nv_int8(a: jax.Array, h: jax.Array,
+                           global_scale: jax.Array, *, rot_size: int,
+                           method: str = "abs_max"):
+    """Fused NVFP4 quantize + int8-MXU encode (bounded rounding).
+
+    Returns (a' int8 [K, rows] natural K order, sigma f32 [rows],
+    scale bytes u8 [K/16, rows]).  Bitwise equal to
+    ``fused_quantize_nv(layout="kmajor")`` +
+    ``ops.int8path.encode_nv_int8``.
+    """
+    k = a.shape[-1]
+    rows = a.size // k
+    x2 = a.reshape(rows, k)
+    bm, bk = quantize_int8_tiles(rows, k)
+    nk = k // bk
+    grid = (ceil_div(rows, bm), nk)
+    gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+    out_shapes, out_specs = _int8_out_specs(k, rows, bm, 16)
+    ai, sb, sg = pl.pallas_call(
+        functools.partial(_quantize_nv_int8_kernel, method=method, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((1, bm), jnp.float32)],
+    )(gs, x2, _h128(h, rot_size))
+    return ai, sg.reshape(rows), sb

@@ -72,6 +72,32 @@ def quantize_tiles(rows: int, k: int) -> tuple[int, int]:
     return bm, bk
 
 
+def quantize_int8_tiles(rows: int, k: int,
+                        kind: str | None = None) -> tuple[int, int]:
+    """(bm, bk) for the fused quantize+int8-encode kernels.
+
+    The int8 output block spans the whole K ([k, bm], revisited across
+    the K grid axis) and is double-buffered by the pipeline, so bm is
+    bounded by 2*k*bm bytes against the total VMEM cap; bk only sizes
+    the per-step f32 intermediates.
+    """
+    _, tile_cap = vmem_budgets(kind)
+    if k % 256 == 0:
+        bk = largest_divisor_multiple(k, 256, 1024)
+    else:
+        bk = k
+    if rows >= 256:
+        bm = 256
+    elif rows >= 128:
+        bm = 128
+    else:
+        bm = rows
+    # 2x revisited int8 out block + ~3 live f32 [bk, bm] intermediates
+    while bm > 8 and bm % 2 == 0 and 2 * k * bm + 12 * bk * bm > tile_cap:
+        bm //= 2
+    return bm, bk
+
+
 def fused_linear_tiles(m: int, n: int, k: int,
                        kind: str | None = None) -> tuple[int, int, int]:
     """(bm, bn, bk) for the single-kernel quantize+GEMM linear (v2).

@@ -67,8 +67,10 @@ def _wspec(name: str, quantized: bool, axis: str, keys=None):
         "wqt": kspec, "wst": kspec,
         "wi8": P(axis, None) if col else P(None, axis),
         "wsb": P(axis) if col else P(None),
-        # NV int8 operand is K-major [K, N] like the fp4 bytes; its f32
-        # row scale is per-OUTPUT-row like wsb
+        # NV int8 operand is natural-K-order [K, N] (row k = element k,
+        # ops/int8path.prepare_weight_nv_int8), so a contiguous K-shard
+        # IS the shard's local operand; its f32 row scale is
+        # per-OUTPUT-row like wsb
         "nvi8": kspec,
         "nvsb": P(axis) if col else P(None),
         "gs": P(),
@@ -109,36 +111,9 @@ def param_specs(cfg: ModelConfig, quantized: bool = True, axis: str = "tp",
     return specs
 
 
-def _nv_int8_shard_blocked(nvi8, tp: int):
-    """Reorder a global plane-major NV-int8 operand [K, N] so contiguous
-    K-sharding over ``tp`` shards yields each shard's LOCAL plane-major
-    layout.
-
-    Global layout: rows [0, K/2) = even elements, [K/2, K) = odd.  A
-    row-parallel shard s owns natural elements [s*Kl, (s+1)*Kl); its
-    local plane-major operand is [evens_s | odds_s].  Interleave the
-    two halves at shard granularity so a plain contiguous split
-    reproduces exactly that."""
-    k, n = nvi8.shape
-    ev = nvi8[:k // 2].reshape(tp, k // (2 * tp), n)
-    od = nvi8[k // 2:].reshape(tp, k // (2 * tp), n)
-    return jnp.stack([ev, od], axis=1).reshape(k, n)
-
-
 def shard_params(cfg: ModelConfig, params, mesh: Mesh, *,
                  quantized: bool = True, axis: str = "tp"):
     """device_put the param tree with the TP NamedShardings."""
-    tp = mesh.shape[axis]
-    if quantized and tp > 1:
-        params = dict(params)
-        params["layers"] = [dict(l) for l in params["layers"]]
-        for layer in params["layers"]:
-            for nm in ("o_proj", "down_proj"):      # row-parallel: K sharded
-                wd = layer.get(nm)
-                if isinstance(wd, dict) and "nvi8" in wd:
-                    wd = dict(wd)
-                    wd["nvi8"] = _nv_int8_shard_blocked(wd["nvi8"], tp)
-                    layer[nm] = wd
     specs = param_specs(cfg, quantized, axis, params)
     # map over the spec tree (PartitionSpec is a tuple — stop there)
     return jax.tree.map(

@@ -120,8 +120,8 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
     The lm head stays bf16 (standard practice).
 
     ``weight_format`` selects the stored evaluator operand (both
-    formats; for NV the int8 operand is plane-major [K, N] with an f32
-    row scale and carries a bounded rounding instead of MX's
+    formats; for NV the int8 operand is natural-K-order [K, N] with an
+    f32 row scale and carries a bounded rounding instead of MX's
     exactness-by-deficit contract):
       "int8"  per-row-exponent int8 mantissas (ops/int8path.py) — the
               int8-MXU path, fastest at every M on v5e (1 byte/param).
@@ -143,9 +143,11 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
             wqt, wst = q.fusedQuantizeNv(w, h, gsw, method=m,
                                          layout="kmajor")
             if weight_format in ("int8", "both"):
-                # int8-MXU NV evaluator: plane-major int8 + f32 row
-                # scale (bounded rounding <= rowmax/254 — no exactness
-                # regime exists for e4m3 scales; ops/int8path.py)
+                # int8-MXU NV evaluator: natural-K-order int8 + f32
+                # row scale (bounded rounding <= rowmax/254 — no
+                # exactness regime exists for e4m3 scales;
+                # ops/int8path.py); natural order shards contiguously
+                # under TP K-splits
                 nvi8, nvsb = I8.prepare_weight_nv_int8(wqt, wst)
                 d = {"nvi8": nvi8, "nvsb": nvsb, "gs": gsw}
                 if weight_format == "both":
@@ -239,25 +241,29 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         # operands, folded out via alpha = 1/(gs_x * gs_w)
         xh_amax = jnp.max(jnp.abs(_rotate_rows(x2, h)))
         gsx = 6.0 / jnp.maximum(xh_amax.astype(jnp.float32), 1e-6)
-        xqt, xst = q.fusedQuantizeNv(x2, h, gsx, method="abs_max",
-                                     layout="kmajor")
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
         if "nvi8" in w:
-            # int8-MXU NV evaluator (~2x bf16 peak; bounded rounding
-            # <= rowmax/254 per operand — ops/int8path.py)
-            xi, sx = _i8.encode_nv_int8_planes(xqt, xst)
+            # int8-MXU NV evaluator, fused quantize+encode kernel
+            # (~2x bf16 peak; bounded rounding <= rowmax/254 per
+            # operand — ops/int8path.py)
+            xi, sx, _ = q.fusedQuantizeNvInt8(x2, h, gsx, method="abs_max")
             y = _i8.matmul_mxf4_bf16_int8_kk(xi, w["nvi8"], sx, w["nvsb"],
                                              alpha, out_dtype=od)
         else:
+            xqt, xst = q.fusedQuantizeNv(x2, h, gsx, method="abs_max",
+                                         layout="kmajor")
             y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
                                           out_dtype=od)
         return y.reshape(*x.shape[:-1], n)
     if "wi8" in w:
         # int8-MXU evaluator (ops/int8path.py): quantize to unpacked
-        # codes, encode per-row int8, whole-K int8 dot + rank-1 fixup.
-        # Bit-exact vs the decode path (weights stored int8 only when
-        # their deficit budget holds; activations from the rotated
-        # quantizer always hold — measured).  Beats bf16 at every M.
+        # codes, XLA encode, whole-K int8 dot + rank-1 fixup.  Beats
+        # bf16 at every M.  Deliberately TWO-pass: XLA overlaps the
+        # encode's VPU work under the int8 dot (composed E2E 436 us at
+        # M=2048 K=N=5120 vs 499 sum-of-parts), which the single fused
+        # quantize+encode kernel cannot match (458 us — its in-kernel
+        # rescale serializes against the quantize;
+        # benchmarks/exp_fused_int8_quant2.py).
         cq, cs = q.fusedQuantizeMx(x2, h, method=method,
                                    layout="kmajor_codes")
         ai, sa, _ = _i8.encode_int8(cq, cs, kmajor=True)

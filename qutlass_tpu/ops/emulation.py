@@ -425,3 +425,31 @@ def mxfp4_transpose_mxfp8(x_fp4: jax.Array, scales: jax.Array):
     q = g / inv[..., None]
     fp8 = C.e4m3_rtne_bytes(q.astype(jnp.bfloat16).astype(jnp.float32))
     return fp8.astype(jnp.uint8).reshape(n, m), ebyte.astype(jnp.uint8)
+
+
+def fused_quantize_mx_int8(a: jax.Array, h: jax.Array, *, rot_size: int,
+                           method: str = "quest"):
+    """XLA twin of the fused quantize+int8-encode kernel
+    (kernels/quantize.py): compose the kmajor-codes quantize with
+    ``int8path.encode_int8``.  Returns (a' int8 [K, rows], row_scale
+    f32 [rows], scale bytes u8 [K/32, rows]), bitwise equal to the
+    Pallas kernel."""
+    from . import int8path as I8
+    cq, cs = fused_quantize_mx(a, h, rot_size=rot_size, method=method,
+                               layout="kmajor_codes")
+    ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+    return ai, sa, cs
+
+
+def fused_quantize_nv_int8(a: jax.Array, h: jax.Array,
+                           global_scale: jax.Array, *, rot_size: int,
+                           method: str = "abs_max"):
+    """XLA twin of the fused NV quantize+int8-encode kernel: compose
+    the kmajor quantize with ``int8path.encode_nv_int8``.  Returns
+    (a' int8 [K, rows], sigma f32 [rows], scale bytes u8 [K/16,
+    rows])."""
+    from . import int8path as I8
+    qt, st = fused_quantize_nv(a, h, global_scale, rot_size=rot_size,
+                               method=method, layout="kmajor")
+    ai, sg = I8.encode_nv_int8(qt, st)
+    return ai, sg, st

@@ -58,10 +58,8 @@ def _codes_to_m2(codes):
     Gather-free (two selects): mag codes 0..4 are the value itself;
     5,6,7 map to 6,8,12 = (2*mag-4, 2*mag-4, 12).
     """
-    c = codes.astype(jnp.int32)
-    mag = c & 7
-    m = jnp.where(mag < 5, mag, jnp.where(mag < 7, 2 * mag - 4, 12))
-    return jnp.where(c >= 8, -m, m)
+    from ..formats import codecs as C
+    return C.e2m1_codes_to_m2(codes)
 
 
 def _unpack(packed):
@@ -256,9 +254,43 @@ def encode_nv_int8_planes(packed, scale_bytes):
 
 def prepare_weight_nv_int8(wqt, wst):
     """One-time NVFP4 weight prep: kmajor packed (wqt u8 [K/2, N], wst
-    e4m3 u8 [K/16, N]) -> (w_i8 [K, N] plane-major int8, sb [N] f32).
+    e4m3 u8 [K/16, N]) -> (w_i8 [K, N] NATURAL-K-order int8, sb [N]
+    f32).
 
-    Pair with an activation encoded by :func:`encode_nv_int8_planes`
-    in :func:`matmul_mxf4_bf16_int8_kk`; fold the two global scales
-    into alpha."""
-    return encode_nv_int8_planes(wqt, wst)
+    Pair with an activation from the fused quantize+encode kernel
+    (or :func:`encode_nv_int8`) in :func:`matmul_mxf4_bf16_int8_kk`;
+    fold the two global scales into alpha.  Natural order shards
+    contiguously under tensor-parallel K-splits."""
+    return encode_nv_int8(wqt, wst)
+
+
+@jax.jit
+def encode_nv_int8(packed, scale_bytes):
+    """Packed K-major NVFP4 -> NATURAL-K-order int8 operand + f32 row
+    scale (same math as :func:`encode_nv_int8_planes`, natural element
+    order: row k = element k).
+
+    This is the layout the fused quantize+encode kernel
+    (kernels/quantize.py fused_quantize_nv_int8) emits, and the layout
+    NV int8 WEIGHTS are stored in — natural order shards contiguously
+    under tensor-parallel K-splits (models/serving_tp.py) with no
+    reorder.  Runtime activations should prefer the fused kernel; this
+    XLA twin is the emulation/fallback path and the one-time weight
+    prep.
+
+    packed u8 [K/2, R], scales u8 (e4m3) [K/16, R] ->
+    (a' int8 [K, R], row_scale f32 [R]).
+    """
+    from ..formats import codecs as C
+
+    codes = _unpack_rows(packed)                             # u8 [K, R]
+    k, rows = codes.shape
+    g = scale_bytes.shape[0]
+    s = C.e4m3_decode_f32(scale_bytes.astype(jnp.int32))     # [K/16, R]
+    s = jnp.where(jnp.isnan(s), 0.0, s)
+    m = _codes_to_m2(codes).astype(jnp.float32)              # exact
+    v = (m.reshape(g, 16, rows) * (0.5 * s)[:, None, :]).reshape(k, rows)
+    sigma = jnp.max(jnp.abs(v), axis=0) / 127.0              # [R]
+    inv = jnp.where(sigma > 0, 1.0 / sigma, 0.0)
+    a = jnp.round(v * inv[None, :]).astype(jnp.int8)
+    return a, sigma

@@ -13,7 +13,8 @@ from ..kernels.gemm import (matmul_mxf4_bf16_kmajor,
                             matmul_mxf4_bf16_kmajor_codes, matmul_mxf4_bf16_tn,
                             matmul_mxf8_bf16_nn, matmul_mxf8_bf16_tn,
                             matmul_nvf4_bf16_kmajor, matmul_nvf4_bf16_tn)
-from ..kernels.quantize import fused_quantize_mx, fused_quantize_nv
+from ..kernels.quantize import (fused_quantize_mx, fused_quantize_mx_int8,
+                                fused_quantize_nv, fused_quantize_nv_int8)
 from . import emulation as _emu
 from .dispatch import note_fallback
 
@@ -105,6 +106,7 @@ def mxfp4_transpose_scaled_kmajor(qt, st):
 
 __all__ = [
     "fused_quantize_mx", "fused_quantize_nv",
+    "fused_quantize_mx_int8", "fused_quantize_nv_int8",
     "matmul_mxf4_bf16_tn", "matmul_mxf4_bf16_kmajor",
     "matmul_mxf4_bf16_kmajor_codes", "matmul_nvf4_bf16_tn",
     "matmul_nvf4_bf16_kmajor", "fused_linear_mxf4", "fused_linear_nvf4",

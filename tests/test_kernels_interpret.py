@@ -195,3 +195,46 @@ def test_backward_qt_batched(data):
     assert pk.shape == ek.shape and ps.shape == es.shape
     np.testing.assert_array_equal(np.asarray(ps), np.asarray(es))
     np.testing.assert_array_equal(np.asarray(pk), np.asarray(ek))
+
+
+@pytest.mark.parametrize("method", ["quest", "abs_max"])
+def test_quantize_mx_int8_fused(data, method):
+    """Fused quantize+int8-encode kernel == emulation twin, bitwise
+    (operand, row scale, scale bytes) — exercises the revisited
+    full-K output block and the running-max scratch across K steps."""
+    x, h, _ = data
+    pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
+                                             method=method)
+    ea, esa, esb = E.fused_quantize_mx_int8(x, h, rot_size=32,
+                                            method=method)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ea))
+    np.testing.assert_array_equal(np.asarray(psa), np.asarray(esa))
+    np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
+
+
+@pytest.mark.parametrize("method", ["abs_max", "quest"])
+def test_quantize_nv_int8_fused(data, method):
+    x, h, one = data
+    h16 = bf16_hadamard(16)
+    gs = jnp.asarray(1.7, jnp.float32)
+    pa, psg, psb = KQ.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                             method=method)
+    ea, esg, esb = E.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                            method=method)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ea))
+    np.testing.assert_array_equal(np.asarray(psg), np.asarray(esg))
+    np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
+
+
+def test_quantize_mx_int8_fused_multi_ktile():
+    """K large enough to force several K grid steps (bk=1024 -> nk=2)
+    plus a partial row block (rows=160 with bm=128)."""
+    rng = np.random.default_rng(3)
+    x, h = randn_bf16(rng, 160, 2048), bf16_hadamard(32)
+    pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
+                                             method="quest")
+    ea, esa, esb = E.fused_quantize_mx_int8(x, h, rot_size=32,
+                                            method="quest")
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ea))
+    np.testing.assert_array_equal(np.asarray(psa), np.asarray(esa))
+    np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))

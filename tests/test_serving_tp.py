@@ -170,20 +170,25 @@ def test_tp_generate_tokens_equal_single_device(setup):
                 f"deviation {dev:.2e}, min top-2 margin {margin:.2e}")
 
 
-def test_nv_int8_shard_blocked_layout():
-    """Unit invariant for `_nv_int8_shard_blocked`: a contiguous K-split
-    of the reordered operand is each shard's LOCAL plane-major layout
-    (row p = local element 2p, row Kl/2+p = local element 2p+1)."""
+def test_nv_int8_weight_natural_order():
+    """The NV int8 weight operand (prepare_weight_nv_int8) is
+    natural-K-order [K, N] — row k = element k — so a contiguous
+    K-split IS each row-parallel shard's local operand (no reorder in
+    shard_params).  Checked against the plane-major encode, whose
+    layout contract is row p = element 2p, row K/2+p = element 2p+1:
+    same sigma, and natural[2p] == planes[p], natural[2p+1] ==
+    planes[K/2+p]."""
+    from qutlass_tpu.ops import int8path as I8
     rng = np.random.default_rng(0)
-    k, n, tp = 64, 5, 4
-    v = rng.integers(-127, 128, size=(k, n)).astype(np.int8)  # natural [K, N]
-    gplane = np.concatenate([v[0::2], v[1::2]], axis=0)       # global plane-major
-    blocked = np.asarray(TP._nv_int8_shard_blocked(jnp.asarray(gplane), tp))
-    kl = k // tp
-    for s in range(tp):
-        vs = v[s * kl:(s + 1) * kl]
-        expect = np.concatenate([vs[0::2], vs[1::2]], axis=0)
-        np.testing.assert_array_equal(blocked[s * kl:(s + 1) * kl], expect)
+    k, n = 64, 8
+    packed = jnp.asarray(rng.integers(0, 256, size=(k // 2, n)), jnp.uint8)
+    sbytes = jnp.asarray(rng.integers(52, 60, size=(k // 16, n)), jnp.uint8)
+    nat, sig_n = I8.prepare_weight_nv_int8(packed, sbytes)
+    pla, sig_p = I8.encode_nv_int8_planes(packed, sbytes)
+    np.testing.assert_array_equal(np.asarray(sig_n), np.asarray(sig_p))
+    nat, pla = np.asarray(nat), np.asarray(pla)
+    np.testing.assert_array_equal(nat[0::2], pla[:k // 2])
+    np.testing.assert_array_equal(nat[1::2], pla[k // 2:])
 
 
 @pytest.mark.parametrize("weight_format", ["fp4", "int8"])
