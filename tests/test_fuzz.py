@@ -202,3 +202,82 @@ def test_fuzz_int8_evaluator(seed):
     out = I8.matmul_mxf4_bf16_int8_kmajor(ai, wi8, sa, wsb, one)
     np.testing.assert_array_equal(np.asarray(out, np.float32),
                                   np.asarray(ref, np.float32))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_fused_int8_quantize(seed):
+    """Random draws through the fused quantize+int8-encode kernels
+    (interpret mode): bitwise equal to the XLA emulation twins for
+    operand, row scale, and scale bytes, across row counts that force
+    partial blocks and Ks that force multiple K grid steps."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret mode on CPU only")
+    from jax.experimental.pallas import tpu as pltpu
+    from qutlass_tpu.kernels import quantize as KQ
+
+    rng = np.random.default_rng(8000 + seed)
+    rows = int(rng.choice([8, 33, 64, 129, 256]))
+    k = int(rng.choice([128, 256, 384, 512]))
+    rot = int(rng.choice([r for r in ROTS if k % r == 0]))
+    method = str(rng.choice(["quest", "abs_max"]))
+    x = randn_bf16(rng, rows, k)
+    h = bf16_hadamard(rot)
+    with pltpu.force_tpu_interpret_mode():
+        pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=rot,
+                                                 method=method)
+    ea, esa, esb = E.fused_quantize_mx_int8(x, h, rot_size=rot,
+                                            method=method)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ea))
+    np.testing.assert_array_equal(np.asarray(psa), np.asarray(esa))
+    np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
+
+    if rot >= 16 and k % 16 == 0:
+        h16 = bf16_hadamard(16)
+        gs = jnp.asarray(float(rng.uniform(0.5, 4.0)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            na, nsg, nsb = KQ.fused_quantize_nv_int8(x, h16, gs,
+                                                     rot_size=16,
+                                                     method=method)
+        ma, msg, msb = E.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                                method=method)
+        np.testing.assert_array_equal(np.asarray(na), np.asarray(ma))
+        np.testing.assert_array_equal(np.asarray(nsg), np.asarray(msg))
+        np.testing.assert_array_equal(np.asarray(nsb), np.asarray(msb))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_nv_int8_evaluator_bound(seed):
+    """Random NV pipeline draws through the int8 evaluator: the GEMM
+    error vs the fp64 dequant matmul stays within the accumulated
+    documented bound (sigma/2 per element per operand)."""
+    from qutlass_tpu.ops import int8path as I8
+
+    rng = np.random.default_rng(9000 + seed)
+    m = int(rng.choice([8, 33, 64]))
+    n = int(rng.choice([16, 96]))
+    k = int(rng.choice([256, 512]))
+    a, b = randn_bf16(rng, m, k), randn_bf16(rng, n, k, scale=0.05)
+    h = bf16_hadamard(16)
+    gsa = jnp.asarray(float(rng.uniform(0.5, 4.0)), jnp.float32)
+    gsb = jnp.asarray(float(rng.uniform(4.0, 40.0)), jnp.float32)
+    aq, asf = E.fused_quantize_nv(a, h, gsa, rot_size=16, method="abs_max",
+                                  layout="kmajor")
+    bq, bsf = E.fused_quantize_nv(b, h, gsb, rot_size=16, method="abs_max",
+                                  layout="kmajor")
+    ai, sa = I8.encode_nv_int8(aq, asf)
+    bi, sb = I8.prepare_weight_nv_int8(bq, bsf)
+    alpha = (1.0 / (gsa * gsb)).reshape(1)
+    y = np.asarray(I8.matmul_mxf4_bf16_int8_kk(ai, bi, sa, sb, alpha,
+                                               out_dtype=jnp.float32),
+                   np.float64)
+    ra = G.quantize_nv(to_np64(a), to_np64(h), 16, float(gsa), "abs_max")
+    rb = G.quantize_nv(to_np64(b), to_np64(h), 16, float(gsb), "abs_max")
+    yref = (ra["dq"] @ rb["dq"].T) / (float(gsa) * float(gsb))
+    sa64, sb64 = np.asarray(sa, np.float64), np.asarray(sb, np.float64)
+    va = np.abs(ra["dq"]).sum(axis=1)
+    vb = np.abs(rb["dq"]).sum(axis=1)
+    bound = (va[:, None] * sb64[None, :] / 2 + vb[None, :] * sa64[:, None] / 2
+             + k * sa64[:, None] * sb64[None, :] / 4
+             ) / (float(gsa) * float(gsb)) * (1 + 1e-4) + 1e-9
+    assert (np.abs(y - yref) <= bound).all(), \
+        (seed, float((np.abs(y - yref) / bound).max()))
