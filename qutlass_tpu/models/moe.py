@@ -23,7 +23,8 @@ from . import serving as _serving
 
 from .transformer import (ModelConfig, _linear, _rms_norm, _rope,
                           init_params as _dense_init,
-                          quantize_model_weights as _dense_quant)
+                          quantize_model_weights as _dense_quant,
+                          quantize_weight)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,26 +68,17 @@ def init_params(cfg: MoeConfig, key: jax.Array, dtype=jnp.bfloat16):
 
 
 def quantize_model_weights(cfg: MoeConfig, params, h, method: str = "quest",
-                           weight_format: str = "int8"):
-    """Quantize attention projections and every expert weight to MXFP4.
+                           fmt: str = "mx", weight_format: str = "int8"):
+    """Quantize attention projections and every expert weight to MXFP4
+    or NVFP4.
 
-    ``weight_format`` as in the dense model (transformer.py): "int8"
-    stores the int8-MXU operand (per-tensor exactness check, fp4
-    fallback), "fp4" the packed decode format, "both" both.
+    ``fmt`` / ``weight_format`` as in the dense model (transformer.py):
+    "int8" stores the int8-MXU operand (MX: per-tensor exactness check
+    with fp4 fallback; NV: bounded-rounding operand with a per-weight
+    global scale), "fp4" the packed decode format, "both" both.
     """
-    from ..ops import int8path as I8
-
-    def quant(w):
-        wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
-        if weight_format in ("int8", "both"):
-            wi8, wsb, dmax = I8.prepare_weight_int8(wqt, wst)
-            if int(dmax) <= 3:
-                d = {"wi8": wi8, "wsb": wsb}
-                if weight_format == "both":
-                    d.update(wqt=wqt, wst=wst)
-                return d
-        return {"wqt": wqt, "wst": wst}
-
+    quant = functools.partial(quantize_weight, h=h, method=method, fmt=fmt,
+                              weight_format=weight_format)
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:

@@ -57,12 +57,17 @@ def param_specs(cfg: MoeConfig, quantized: bool = True, axis: str = "tp",
     """PartitionSpec tree for stacked MoE params.
 
     ``params`` (the STACKED tree) keys each weight's spec dict off the
-    stored operand formats (fp4 {wqt, wst} / int8 {wi8, wsb}); expert
-    stacks shard dim 0 over the EP axis, with rank-matched specs per
-    operand (wsb stacks to rank 2).
+    stored operand formats (fp4 {wqt, wst} / int8 {wi8, wsb} / NV
+    {nvi8, nvsb, gs}); expert stacks shard dim 0 over the EP axis,
+    with rank-matched specs per operand (wsb/nvsb stack to rank 2, gs
+    to rank 1).
     """
     expert_by_key = {"wqt": P(axis, None, None), "wst": P(axis, None, None),
-                     "wi8": P(axis, None, None), "wsb": P(axis, None)}
+                     "wi8": P(axis, None, None), "wsb": P(axis, None),
+                     # NV int8 stacks: nvi8 [E, K, N], nvsb [E, N],
+                     # per-expert global scale gs [E]
+                     "nvi8": P(axis, None, None), "nvsb": P(axis, None),
+                     "gs": P(axis)}
     specs = {
         "embed": P(None, None),
         "final_norm": P(None),

@@ -109,6 +109,43 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16):
     return params
 
 
+def quantize_weight(w, *, h, method: str = "quest", fmt: str = "mx",
+                    weight_format: str = "int8"):
+    """Quantize one [N, K] weight to its stored evaluator dict.
+
+    Shared by the dense and MoE families (see
+    :func:`quantize_model_weights` for the fmt / weight_format
+    contract)."""
+    from ..ops import int8path as I8
+
+    if fmt == "nv":
+        m = "abs_max" if method == "quest" else method
+        wh = _rotate_rows(w, h)
+        gsw = 6.0 / jnp.maximum(
+            jnp.max(jnp.abs(wh)).astype(jnp.float32), 1e-6)
+        wqt, wst = q.fusedQuantizeNv(w, h, gsw, method=m, layout="kmajor")
+        if weight_format in ("int8", "both"):
+            # int8-MXU NV evaluator: natural-K-order int8 + f32 row
+            # scale (bounded rounding <= rowmax/254 — no exactness
+            # regime exists for e4m3 scales; ops/int8path.py); natural
+            # order shards contiguously under TP K-splits
+            nvi8, nvsb = I8.prepare_weight_nv_int8(wqt, wst)
+            d = {"nvi8": nvi8, "nvsb": nvsb, "gs": gsw}
+            if weight_format == "both":
+                d.update(wqt=wqt, wst=wst)
+            return d
+        return {"wqt": wqt, "wst": wst, "gs": gsw}
+    wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
+    if weight_format in ("int8", "both"):
+        wi8, wsb, dmax = I8.prepare_weight_int8(wqt, wst)
+        if int(dmax) <= 3:               # int8 evaluation exact
+            d = {"wi8": wi8, "wsb": wsb}
+            if weight_format == "both":
+                d.update(wqt=wqt, wst=wst)
+            return d
+    return {"wqt": wqt, "wst": wst}
+
+
 def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
                            method: str = "quest", fmt: str = "mx",
                            weight_format: str = "int8"):
@@ -132,38 +169,8 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
               decode-GEMM path; choose under HBM pressure.
       "both"  store the two side by side.
     """
-    from ..ops import int8path as I8
-
-    def quant(w):
-        if fmt == "nv":
-            m = "abs_max" if method == "quest" else method
-            wh = _rotate_rows(w, h)
-            gsw = 6.0 / jnp.maximum(
-                jnp.max(jnp.abs(wh)).astype(jnp.float32), 1e-6)
-            wqt, wst = q.fusedQuantizeNv(w, h, gsw, method=m,
-                                         layout="kmajor")
-            if weight_format in ("int8", "both"):
-                # int8-MXU NV evaluator: natural-K-order int8 + f32
-                # row scale (bounded rounding <= rowmax/254 — no
-                # exactness regime exists for e4m3 scales;
-                # ops/int8path.py); natural order shards contiguously
-                # under TP K-splits
-                nvi8, nvsb = I8.prepare_weight_nv_int8(wqt, wst)
-                d = {"nvi8": nvi8, "nvsb": nvsb, "gs": gsw}
-                if weight_format == "both":
-                    d.update(wqt=wqt, wst=wst)
-                return d
-            return {"wqt": wqt, "wst": wst, "gs": gsw}
-        wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
-        if weight_format in ("int8", "both"):
-            wi8, wsb, dmax = I8.prepare_weight_int8(wqt, wst)
-            if int(dmax) <= 3:               # int8 evaluation exact
-                d = {"wi8": wi8, "wsb": wsb}
-                if weight_format == "both":
-                    d.update(wqt=wqt, wst=wst)
-                return d
-        return {"wqt": wqt, "wst": wst}
-
+    quant = functools.partial(quantize_weight, h=h, method=method, fmt=fmt,
+                              weight_format=weight_format)
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:

@@ -82,3 +82,32 @@ def test_moe_generate_quantized():
                       quantized=True, key=jax.random.PRNGKey(3),
                       temperature=0.7, top_k=8)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(t2))
+
+
+def test_moe_nvfp4_quantized_forward():
+    """MoE with fmt="nv": both evaluator formats finite and at quality
+    parity with each other vs the bf16 model (same contract as the
+    dense NV test — bounded int8 rounding triggers the composite-jit
+    divergence, so path-vs-path closeness is not the bar)."""
+    cfg = tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0,
+                              cfg.vocab_size)
+    ref = np.asarray(moe.forward(cfg, params, toks, h), np.float32).ravel()
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-9))
+
+    outs = {}
+    for wf in ("fp4", "int8"):
+        qp = moe.quantize_model_weights(cfg, params, h, fmt="nv",
+                                        weight_format=wf)
+        o = np.asarray(moe.forward(cfg, qp, toks, h, quantized=True),
+                       np.float32).ravel()
+        assert np.isfinite(o).all()
+        outs[wf] = o
+    assert any("nvi8" in l["expert_gate"][0] for l in
+               moe.quantize_model_weights(cfg, params, h, fmt="nv")["layers"])
+    assert cos(outs["int8"], ref) > cos(outs["fp4"], ref) - 0.05, \
+        (cos(outs["int8"], ref), cos(outs["fp4"], ref))

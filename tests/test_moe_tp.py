@@ -72,3 +72,28 @@ def test_moe_tp_generate_consistency(setup):
         cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos += 1
     np.testing.assert_array_equal(toks, np.stack(got, axis=1))
+
+
+def test_moe_tp_prefill_nvfp4_int8():
+    """NV int8 experts through EP serving: each expert lives whole on
+    one shard (expert-axis sharding), so the NV evaluator's per-row
+    scales need no cross-shard treatment; cosine-level vs single
+    device (same bar as the quantized MX EP test)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    cfg = tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    qparams = moe.quantize_model_weights(cfg, params, h, fmt="nv",
+                                         weight_format="int8")
+    assert all("nvi8" in l["expert_gate"][0] for l in qparams["layers"])
+    mesh = make_mesh({"tp": 2})
+    sp = moe_tp.shard_params(cfg, qparams, mesh)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0,
+                              cfg.vocab_size)
+    ref, _ = moe.prefill(cfg, qparams, toks, h, max_len=8, quantized=True)
+    tpl, _ = moe_tp.tp_prefill(cfg, sp, toks, h, mesh, max_len=8)
+    a = np.asarray(tpl, np.float32).ravel()
+    b = np.asarray(ref, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.95, cos
