@@ -453,6 +453,14 @@ def fused_quantize_mx_int8(a: jax.Array, h: jax.Array, *, rot_size: int,
     rows = a.size // k
     x2 = a.reshape(rows, k)
     bm, bk = quantize_int8_tiles(rows, k)
+    if bm % 128 != 0 and bm != rows:
+        # huge K: the double-buffered [k, bm] out block can't fit VMEM
+        # at a lane-legal bm — compose the (bitwise-equal) two passes
+        from ..ops import int8path as I8
+        cq, cs = fused_quantize_mx(a, h, rot_size=rot_size, method=method,
+                                   layout="kmajor_codes")
+        ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+        return ai, sa, cs
     nk = k // bk
     grid = (ceil_div(rows, bm), nk)
     out_shapes, out_specs = _int8_out_specs(k, rows, bm, 32)
@@ -487,6 +495,14 @@ def fused_quantize_nv_int8(a: jax.Array, h: jax.Array,
     rows = a.size // k
     x2 = a.reshape(rows, k)
     bm, bk = quantize_int8_tiles(rows, k)
+    if bm % 128 != 0 and bm != rows:
+        # huge K: no lane-legal bm fits VMEM — compose the two passes
+        from ..ops import int8path as I8
+        wqt, wst = fused_quantize_nv(a, h, global_scale,
+                                     rot_size=rot_size, method=method,
+                                     layout="kmajor")
+        ai, sg = I8.encode_nv_int8(wqt, wst)
+        return ai, sg, wst
     nk = k // bk
     grid = (ceil_div(rows, bm), nk)
     gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)

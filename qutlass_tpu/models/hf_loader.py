@@ -92,14 +92,17 @@ def params_from_hf_state_dict(cfg: ModelConfig,
 
 
 def load_model(path: str, *, quantize: bool = False, h=None,
-               method: str = "quest", dtype=jnp.bfloat16):
+               method: str = "quest", fmt: str = "mx",
+               weight_format: str = "int8", dtype=jnp.bfloat16):
     """One-call checkpoint load: HF model directory -> (cfg, params).
 
     ``path`` must contain ``config.json`` plus ``*.safetensors`` shards
     (the standard HF snapshot layout).  With ``quantize=True`` every
     linear weight is rotated by ``h`` (defaults to the Hadamard-32) and
-    stored MXFP4 — the one-line equivalent of the reference's
-    HF-integration layer swap (README.md:50-51).
+    stored MXFP4 (or NVFP4 with ``fmt="nv"``; ``weight_format`` picks
+    the stored evaluator operand as in ``quantize_model_weights``) —
+    the one-line equivalent of the reference's HF-integration layer
+    swap (README.md:50-51).
     """
     import json
     import os
@@ -114,7 +117,9 @@ def load_model(path: str, *, quantize: bool = False, h=None,
         if h is None:
             from ..utils import hadamard_matrix
             h = hadamard_matrix(32)
-        params = quantize_model_weights(cfg, params, h, method=method)
+        params = quantize_model_weights(cfg, params, h, method=method,
+                                        fmt=fmt,
+                                        weight_format=weight_format)
     return cfg, params
 
 

@@ -114,6 +114,52 @@ def test_load_model_one_call(tmp_path):
     assert cos > 0.9, cos
 
 
+def test_load_model_nv_format(tmp_path):
+    """load_model passes fmt/weight_format through to the quantizer:
+    fmt="nv" stores NVFP4 weights (int8 evaluator operand by default,
+    fp4 bytes with weight_format="fp4")."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.models.hf_loader import load_model
+
+    cfg = tiny_config()
+    state = _fake_state(cfg)
+    safetensors.save_file(state, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "model_type": "qwen3",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": False,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    from helpers import bf16_hadamard
+    h = bf16_hadamard(32)
+    qcfg, qparams = load_model(str(tmp_path), quantize=True, h=h,
+                               fmt="nv")
+    lw = qparams["layers"][0]["q_proj"]
+    # NV int8 evaluator operand: natural-K int8 + f32 row scale + the
+    # per-weight global scale
+    assert {"nvi8", "nvsb", "gs"} <= set(lw), set(lw)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0,
+                              cfg.vocab_size)
+    qout = forward(qcfg, qparams, toks, h, quantized=True)
+    assert np.isfinite(np.asarray(qout, np.float32)).all()
+
+    _, fp4params = load_model(str(tmp_path), quantize=True, h=h,
+                              fmt="nv", weight_format="fp4")
+    lw4 = fp4params["layers"][0]["q_proj"]
+    assert {"wqt", "wst", "gs"} <= set(lw4) and "nvi8" not in lw4, set(lw4)
+
+
 def test_load_model_llama_style_tied(tmp_path):
     """Llama-style config (no qk_norm) with tied embeddings."""
     import json

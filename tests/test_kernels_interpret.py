@@ -226,6 +226,30 @@ def test_quantize_nv_int8_fused(data, method):
     np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
 
 
+def test_quantize_int8_fused_huge_k_fallback(monkeypatch):
+    """When no lane-legal bm fits the VMEM budget (huge K), the fused
+    wrappers compose the two-pass path — still bitwise equal."""
+    rng = np.random.default_rng(5)
+    x, h = randn_bf16(rng, 192, 1536), bf16_hadamard(32)
+    monkeypatch.setattr(KQ, "quantize_int8_tiles", lambda *a, **k: (64, 512))
+    pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
+                                             method="quest")
+    ea, esa, esb = E.fused_quantize_mx_int8(x, h, rot_size=32,
+                                            method="quest")
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ea))
+    np.testing.assert_array_equal(np.asarray(psa), np.asarray(esa))
+    np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
+    gs = jnp.asarray(1.3, jnp.float32)
+    h16 = bf16_hadamard(16)
+    na, nsg, nsb = KQ.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                             method="abs_max")
+    ma, msg, msb = E.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                            method="abs_max")
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(ma))
+    np.testing.assert_array_equal(np.asarray(nsg), np.asarray(msg))
+    np.testing.assert_array_equal(np.asarray(nsb), np.asarray(msb))
+
+
 def test_quantize_mx_int8_fused_multi_ktile():
     """K large enough to force several K grid steps (bk=1024 -> nk=2)
     plus a partial row block (rows=160 with bm=128)."""

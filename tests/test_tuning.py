@@ -81,3 +81,24 @@ def test_quantize_tiles_legal(rows):
         # kmajor packed block lane dim 128-divisible or == rows handled
         # by bm; scale block [bk/32, bm] sublane dim:
         assert _sublane_ok(bk // 32, k // 32), (k, bk)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("rows", MS[:-1])
+def test_quantize_int8_tiles_legal(kind, rows):
+    """Fused quantize+int8-encode tiles: the revisited [k, bm] int8 out
+    block is double-buffered, so 2*k*bm plus the per-step f32 blocks
+    must fit the generation's tile cap; bk keeps the scale-block
+    sublane legality."""
+    from qutlass_tpu.kernels.tuning import (quantize_int8_tiles,
+                                            vmem_budgets)
+    _, tile_cap = vmem_budgets(kind)
+    for k in NKS:
+        bm, bk = quantize_int8_tiles(rows, k, kind=kind)
+        assert k % bk == 0
+        if bm % 128 != 0 and bm != rows:
+            # the wrappers detect this and compose the two-pass path
+            continue
+        assert _sublane_ok(bk // 32, k // 32), (k, bk)
+        assert 2 * k * bm + 12 * bk * bm <= tile_cap or bm == 8 \
+            or bm % 2 == 1, (kind, rows, k, bm, bk)
