@@ -21,12 +21,25 @@ _FORMAT_VERSION = 1
 
 
 def save_quantized(path: str, tree: Any, metadata: dict | None = None) -> None:
-    """Save a pytree of (uint8/bf16/f32) arrays to an .npz container."""
+    """Save a pytree of (uint8/bf16/f32) arrays to an .npz container.
+
+    npz only knows stock numpy dtypes, so ml_dtypes leaves (bfloat16,
+    fp8 views) are stored as same-width unsigned bytes with the true
+    dtype name recorded in the metadata and restored on load.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays, dtypes = {}, []
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        dtypes.append(a.dtype.name)
+        if a.dtype.kind not in "uifb":      # ml_dtypes (bf16/fp8/...)
+            a = a.view({2: np.uint16, 4: np.uint32}.get(a.dtype.itemsize,
+                                                        np.uint8))
+        arrays[f"leaf_{i}"] = a
     meta = {"format_version": _FORMAT_VERSION,
             "treedef": str(treedef),
             "num_leaves": len(leaves),
+            "dtypes": dtypes,
             "user": metadata or {}}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -36,9 +49,17 @@ def save_quantized(path: str, tree: Any, metadata: dict | None = None) -> None:
 def load_quantized(path: str, like: Any):
     """Load arrays saved by :func:`save_quantized` into the structure of
     ``like`` (same treedef)."""
+    import ml_dtypes
+
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
-        leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+        leaves = []
+        for i in range(meta["num_leaves"]):
+            a = data[f"leaf_{i}"]
+            name = meta.get("dtypes", [None] * (i + 1))[i]
+            if name is not None and a.dtype.name != name:
+                a = a.view(np.dtype(getattr(ml_dtypes, name, name)))
+            leaves.append(a)
     treedef = jax.tree_util.tree_structure(like)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

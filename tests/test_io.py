@@ -22,6 +22,32 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded["wst"]), np.asarray(wst))
 
 
+def test_save_load_quantized_model_tree(tmp_path):
+    """Roundtrip a real quantize_model_weights tree in every stored
+    weight format (MX int8, NV int8, fp4) — the dtypes the serving
+    stack actually persists (int8, f32 scales, uint8 bytes, bf16)."""
+    import jax
+    from qutlass_tpu.models import (forward, init_params,
+                                    quantize_model_weights, tiny_config)
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    for fmt, wf in (("mx", "int8"), ("nv", "int8"), ("mx", "fp4")):
+        qp = quantize_model_weights(cfg, params, h, fmt=fmt,
+                                    weight_format=wf)
+        p = str(tmp_path / f"{fmt}_{wf}.npz")
+        qio.save_quantized(p, qp, {"fmt": fmt, "weight_format": wf})
+        loaded = qio.load_quantized(p, qp)
+        for a, b in zip(jax.tree_util.tree_leaves(qp),
+                        jax.tree_util.tree_leaves(loaded)):
+            assert a.dtype == b.dtype, (fmt, wf, a.dtype, b.dtype)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        toks = jnp.zeros((1, 4), jnp.int32)
+        out = forward(cfg, loaded, toks, h, quantized=True)
+        assert np.isfinite(np.asarray(out, np.float32)).all(), (fmt, wf)
+
+
 def test_export_scales_for_cuda_matches_reference_swizzle():
     rng = np.random.default_rng(0)
     rows, cols = 200, 10            # forces padding to 256 x 12
