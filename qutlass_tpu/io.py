@@ -84,3 +84,108 @@ def export_packed_for_cuda(packed):
     """The packed e2m1 nibble layout already matches the reference
     (element 2i in the low nibble) — returned as-is for clarity."""
     return packed
+
+
+# ---------------------------------------------------------------------------
+# Pre-quantized checkpoint interop (reference / vLLM / FP-Quant layout)
+#
+# The reference ecosystem stores quantized linear weights row-major:
+# packed e2m1 u8 [N, K/2] (element 2i in the low nibble — the operand
+# layout of reference __init__.py:34-131) with row-major scale bytes
+# [N, K/gs] (e8m0 for MX, e4m3 for NV with a per-tensor fp32 global
+# scale — the vLLM "nvfp4" two-level scheme, epilogue_quant.h:1650-1693).
+# These importers convert one such tensor into the stored evaluator
+# dict that models/transformer.py `_linear` consumes, so pre-quantized
+# GPU checkpoints serve on TPU unchanged.  Checkpoints quantized
+# WITHOUT a rotation should be served with h = identity_matrix(gs)
+# (qutlass_tpu.identity_matrix); FP-Quant-style rotated checkpoints use
+# the matching Hadamard.
+# ---------------------------------------------------------------------------
+
+
+def _rowmajor_to_kmajor(packed, scale_bytes, gs: int):
+    """(packed u8 [N, K/2], scales u8 [N, K/gs] or the reference's
+    padded buffer) -> (wqt u8 [K/2, N], wst u8 [K/gs, N])."""
+    import jax.numpy as jnp
+
+    packed = jnp.asarray(packed)
+    sb = jnp.asarray(scale_bytes)
+    n, k2 = packed.shape
+    k = 2 * k2
+    if sb.ndim == 1:
+        sb = sb.reshape(n, -1)
+    if sb.shape != (n, k // gs):        # reference padded alloc buffer
+        sb = sb[:n, : k // gs]
+    codes = ((packed & 0xF).astype(jnp.uint8),
+             (packed >> 4).astype(jnp.uint8))
+    # [N, K] with element 2i from the low nibble, then K-major pairs
+    c = jnp.stack(codes, axis=-1).reshape(n, k).T        # [K, N]
+    wqt = (c[0::2] | (c[1::2] << 4)).astype(jnp.uint8)   # [K/2, N]
+    return wqt, sb.T
+
+
+def import_mxfp4_weight(packed, scale_bytes, *, weight_format: str = "int8"):
+    """Row-major MXFP4 weight (reference layout) -> stored evaluator
+    dict for ``_linear`` ({wi8, wsb} when the int8 mapping is exact —
+    checked host-side like quantize_model_weights — else {wqt, wst};
+    ``weight_format`` as in models.quantize_model_weights)."""
+    from .ops import int8path as I8
+
+    wqt, wst = _rowmajor_to_kmajor(packed, scale_bytes, 32)
+    if weight_format in ("int8", "both"):
+        wi8, wsb, dmax = I8.prepare_weight_int8(wqt, wst)
+        if int(dmax) <= 3:
+            d = {"wi8": wi8, "wsb": wsb}
+            if weight_format == "both":
+                d.update(wqt=wqt, wst=wst)
+            return d
+    return {"wqt": wqt, "wst": wst}
+
+
+def import_nvfp4_weight(packed, scale_bytes, global_scale, *,
+                        weight_format: str = "int8"):
+    """Row-major NVFP4 weight (vLLM two-level scheme: e4m3 group scales
+    [N, K/16] + per-tensor fp32 global scale) -> stored evaluator dict
+    ({nvi8, nvsb, gs} or {wqt, wst, gs})."""
+    import jax.numpy as jnp
+
+    from .ops import int8path as I8
+
+    wqt, wst = _rowmajor_to_kmajor(packed, scale_bytes, 16)
+    gs = jnp.asarray(global_scale, jnp.float32).reshape(())
+    if weight_format in ("int8", "both"):
+        nvi8, nvsb = I8.prepare_weight_nv_int8(wqt, wst)
+        d = {"nvi8": nvi8, "nvsb": nvsb, "gs": gs}
+        if weight_format == "both":
+            d.update(wqt=wqt, wst=wst)
+        return d
+    return {"wqt": wqt, "wst": wst, "gs": gs}
+
+
+def export_quantized_weight(stored):
+    """Stored evaluator dict -> reference row-major layout.
+
+    Returns (packed u8 [N, K/2], scales u8 [N, K/gs]) for MX dicts and
+    (packed, scales, global_scale f32) for NV dicts.  Requires the fp4
+    bytes (weight_format "fp4" or "both"); int8-only dicts absorbed the
+    group scales into the operand and cannot reproduce the original
+    codes — re-import or re-quantize with weight_format="both" to
+    export."""
+    import jax.numpy as jnp
+
+    if "wqt" not in stored:
+        raise ValueError(
+            "export_quantized_weight needs the packed fp4 bytes (wqt/wst); "
+            "this dict stores only the int8 evaluator operand "
+            f"(keys {sorted(stored)}). Quantize with weight_format='fp4' "
+            "or 'both' to export.")
+    wqt, wst = jnp.asarray(stored["wqt"]), jnp.asarray(stored["wst"])
+    k2, n = wqt.shape
+    lo = (wqt & 0xF).astype(jnp.uint8)
+    hi = (wqt >> 4).astype(jnp.uint8)
+    codes = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n).T   # [N, K]
+    packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
+    scales = wst.T
+    if "gs" in stored:
+        return packed, scales, jnp.asarray(stored["gs"], jnp.float32)
+    return packed, scales

@@ -91,6 +91,79 @@ def params_from_hf_state_dict(cfg: ModelConfig,
     return params
 
 
+_QUANT_LINEARS = ("self_attn.q_proj", "self_attn.k_proj",
+                  "self_attn.v_proj", "self_attn.o_proj",
+                  "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
+
+
+def quantized_params_from_hf_state_dict(cfg: ModelConfig,
+                                        state: Mapping[str, np.ndarray],
+                                        weight_format: str = "int8",
+                                        dtype=jnp.bfloat16):
+    """Convert a PRE-QUANTIZED HF state dict (compressed-tensors /
+    vLLM naming) to the quantized params pytree.
+
+    Each linear stores ``<name>.weight_packed`` (u8 [N, K/2], two e2m1
+    per byte, element 2i in the low nibble), ``<name>.weight_scale``
+    (u8 scale bytes [N, K/gs]) and, for the NVFP4 two-level scheme,
+    ``<name>.weight_global_scale`` (f32 scalar) — the on-disk layout of
+    checkpoints produced by the reference's integrations (vLLM PR
+    #24440 / FP-Quant, reference README.md:50,66,80).  MX vs NV is
+    keyed per tensor on the presence of the global scale.  Non-linear
+    tensors (norms, embeddings, lm_head) load as ``dtype``.
+
+    Serve the result with ``quantized=True`` and the rotation the
+    checkpoint was quantized with — ``identity_matrix(gs)`` for plain
+    (unrotated) vLLM-style checkpoints, the matching Hadamard for
+    FP-Quant/Quartet ones.
+    """
+    from ..io import import_mxfp4_weight, import_nvfp4_weight
+
+    def get(k):
+        if k not in state:
+            raise KeyError(f"missing checkpoint tensor: {k}")
+        return jnp.asarray(np.asarray(state[k]), dtype)
+
+    def get_quantized(name):
+        packed = state.get(name + ".weight_packed")
+        if packed is None:
+            raise KeyError(f"missing checkpoint tensor: {name}"
+                           ".weight_packed (not a quantized checkpoint?)")
+        packed = jnp.asarray(np.asarray(packed), jnp.uint8)
+        scales = jnp.asarray(
+            np.asarray(state[name + ".weight_scale"]).view(np.uint8))
+        gs = state.get(name + ".weight_global_scale")
+        if gs is not None:
+            return import_nvfp4_weight(packed, scales,
+                                       np.float32(np.asarray(gs).ravel()[0]),
+                                       weight_format=weight_format)
+        return import_mxfp4_weight(packed, scales,
+                                   weight_format=weight_format)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        prefix = f"model.layers.{i}."
+        layer = {}
+        for hf_name, ours in _LAYER_MAP.items():
+            if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
+                continue
+            base = hf_name[: -len(".weight")]
+            if base in _QUANT_LINEARS:
+                layer[ours] = get_quantized(prefix + base)
+            else:
+                layer[ours] = get(prefix + hf_name)
+        layers.append(layer)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "final_norm": get("model.norm.weight"),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = get("lm_head.weight")
+    return params
+
+
 def load_model(path: str, *, quantize: bool = False, h=None,
                method: str = "quest", fmt: str = "mx",
                weight_format: str = "int8", dtype=jnp.bfloat16):
@@ -103,6 +176,11 @@ def load_model(path: str, *, quantize: bool = False, h=None,
     the stored evaluator operand as in ``quantize_model_weights``) —
     the one-line equivalent of the reference's HF-integration layer
     swap (README.md:50-51).
+
+    A checkpoint that is ALREADY quantized (``quantization_config`` in
+    config.json, weights stored as ``weight_packed``/``weight_scale``)
+    loads through :func:`quantized_params_from_hf_state_dict` instead;
+    ``quantize``/``method``/``fmt`` are ignored for it.
     """
     import json
     import os
@@ -110,9 +188,14 @@ def load_model(path: str, *, quantize: bool = False, h=None,
     from .transformer import quantize_model_weights
 
     with open(os.path.join(path, "config.json")) as f:
-        cfg = config_from_hf(json.load(f))
-    params = params_from_hf_state_dict(cfg, load_safetensors_dir(path),
-                                       dtype=dtype)
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg)
+    state = load_safetensors_dir(path)
+    if "quantization_config" in hf_cfg or any(
+            k.endswith(".weight_packed") for k in state):
+        return cfg, quantized_params_from_hf_state_dict(
+            cfg, state, weight_format=weight_format, dtype=dtype)
+    params = params_from_hf_state_dict(cfg, state, dtype=dtype)
     if quantize:
         if h is None:
             from ..utils import hadamard_matrix

@@ -160,6 +160,77 @@ def test_load_model_nv_format(tmp_path):
     assert {"wqt", "wst", "gs"} <= set(lw4) and "nvi8" not in lw4, set(lw4)
 
 
+def test_load_model_prequantized_checkpoint(tmp_path):
+    """A pre-quantized checkpoint (compressed-tensors naming:
+    weight_packed/weight_scale[/weight_global_scale]) loads through
+    quantized_params_from_hf_state_dict and serves bitwise-identically
+    to the directly-quantized params it was exported from."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.io import export_quantized_weight
+    from qutlass_tpu.models.hf_loader import load_model
+    from qutlass_tpu.models.transformer import quantize_model_weights
+
+    from helpers import bf16_hadamard
+    cfg = tiny_config()
+    state = _fake_state(cfg)
+    h = bf16_hadamard(32)
+    params = params_from_hf_state_dict(cfg, state)
+    direct = quantize_model_weights(cfg, params, h, fmt="nv",
+                                    weight_format="both")
+
+    # export every linear into the on-disk reference layout
+    qstate = dict(state)
+    ours_to_hf = {v: k for k, v in
+                  {"self_attn.q_proj.weight": "q_proj",
+                   "self_attn.k_proj.weight": "k_proj",
+                   "self_attn.v_proj.weight": "v_proj",
+                   "self_attn.o_proj.weight": "o_proj",
+                   "mlp.gate_proj.weight": "gate_proj",
+                   "mlp.up_proj.weight": "up_proj",
+                   "mlp.down_proj.weight": "down_proj"}.items()}
+    for i, layer in enumerate(direct["layers"]):
+        for ours, hf_name in ours_to_hf.items():
+            base = f"model.layers.{i}." + hf_name[: -len(".weight")]
+            packed, scales, gs = export_quantized_weight(layer[ours])
+            del qstate[base + ".weight"]
+            qstate[base + ".weight_packed"] = np.asarray(packed)
+            qstate[base + ".weight_scale"] = np.asarray(scales)
+            qstate[base + ".weight_global_scale"] = np.asarray(
+                gs, np.float32).reshape(1)
+    safetensors.save_file(qstate, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "model_type": "qwen3",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": False,
+        "quantization_config": {"format": "nvfp4-pack-quantized"},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    lcfg, qparams = load_model(str(tmp_path))
+    lw = qparams["layers"][0]["q_proj"]
+    assert {"nvi8", "nvsb", "gs"} <= set(lw), set(lw)
+    np.testing.assert_array_equal(
+        np.asarray(lw["nvi8"]),
+        np.asarray(direct["layers"][0]["q_proj"]["nvi8"]))
+
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0,
+                              cfg.vocab_size)
+    out_loaded = forward(lcfg, qparams, toks, h, quantized=True)
+    out_direct = forward(cfg, direct, toks, h, quantized=True)
+    np.testing.assert_array_equal(np.asarray(out_loaded),
+                                  np.asarray(out_direct))
+
+
 def test_load_model_llama_style_tied(tmp_path):
     """Llama-style config (no qk_norm) with tied embeddings."""
     import json

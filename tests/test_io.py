@@ -48,6 +48,46 @@ def test_save_load_quantized_model_tree(tmp_path):
         assert np.isfinite(np.asarray(out, np.float32)).all(), (fmt, wf)
 
 
+def test_import_export_quantized_weight_roundtrip():
+    """export_quantized_weight -> import_*_weight reproduces the
+    directly-quantized stored dict bitwise (both formats, MX and NV),
+    including the int8 evaluator operands."""
+    import jax
+    from qutlass_tpu.models.transformer import quantize_weight
+
+    rng = np.random.default_rng(7)
+    w = randn_bf16(rng, 64, 256, scale=0.05)
+    h = bf16_hadamard(32)
+
+    mx = quantize_weight(w, h=h, method="quest", fmt="mx",
+                         weight_format="both")
+    packed, scales = qio.export_quantized_weight(mx)
+    assert packed.shape == (64, 128) and scales.shape == (64, 8)
+    imp = qio.import_mxfp4_weight(packed, scales, weight_format="both")
+    for key in ("wqt", "wst", "wi8", "wsb"):
+        np.testing.assert_array_equal(np.asarray(imp[key]),
+                                      np.asarray(mx[key]), err_msg=key)
+    # reference's padded scale alloc buffer is accepted too
+    padded = np.zeros((128, 8), np.uint8)
+    padded[:64, :8] = np.asarray(scales)
+    imp_p = qio.import_mxfp4_weight(packed, padded, weight_format="fp4")
+    np.testing.assert_array_equal(np.asarray(imp_p["wst"]),
+                                  np.asarray(mx["wst"]))
+
+    nv = quantize_weight(w, h=h, method="abs_max", fmt="nv",
+                         weight_format="both")
+    npk, nsc, ngs = qio.export_quantized_weight(nv)
+    assert nsc.shape == (64, 16)
+    nimp = qio.import_nvfp4_weight(npk, nsc, ngs, weight_format="both")
+    for key in ("wqt", "wst", "nvi8", "nvsb"):
+        np.testing.assert_array_equal(np.asarray(nimp[key]),
+                                      np.asarray(nv[key]), err_msg=key)
+    assert float(nimp["gs"]) == float(nv["gs"])
+
+    with pytest.raises(ValueError, match="int8"):
+        qio.export_quantized_weight({"wi8": mx["wi8"], "wsb": mx["wsb"]})
+
+
 def test_export_scales_for_cuda_matches_reference_swizzle():
     rng = np.random.default_rng(0)
     rows, cols = 200, 10            # forces padding to 256 x 12
