@@ -91,6 +91,68 @@ def params_from_hf_state_dict(cfg: ModelConfig,
     return params
 
 
+def moe_config_from_hf(hf_config: Mapping):
+    """Build a MoeConfig from an HF qwen3_moe config dict."""
+    from .moe import MoeConfig
+
+    if hf_config.get("mlp_only_layers") or \
+            hf_config.get("decoder_sparse_step", 1) != 1:
+        raise NotImplementedError(
+            "mixed dense/MoE layer stacks (mlp_only_layers / "
+            "decoder_sparse_step) are not supported")
+    base = config_from_hf(hf_config)
+    return MoeConfig(
+        **{f.name: getattr(base, f.name)
+           for f in base.__dataclass_fields__.values()
+           if f.name in ModelConfig.__dataclass_fields__},
+        n_experts=hf_config["num_experts"],
+        top_k=hf_config["num_experts_per_tok"],
+        moe_intermediate=hf_config["moe_intermediate_size"])
+
+
+def moe_params_from_hf_state_dict(cfg, state: Mapping[str, np.ndarray],
+                                  dtype=jnp.bfloat16):
+    """Convert an HF qwen3_moe state dict to the MoE params pytree.
+
+    Attention/norm tensors map as in the dense family; per layer the
+    router is ``mlp.gate.weight`` ([E, D] -> stored [D, E] f32) and the
+    per-expert ``mlp.experts.{e}.{gate,up,down}_proj.weight`` stack to
+    ``expert_{gate,up,down}`` [E, ...] (the init_params layout).
+    """
+    def get(k, dt=dtype):
+        if k not in state:
+            raise KeyError(f"missing checkpoint tensor: {k}")
+        return jnp.asarray(np.asarray(state[k]), dt)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        prefix = f"model.layers.{i}."
+        layer = {}
+        for hf_name, ours in _LAYER_MAP.items():
+            if hf_name.startswith("mlp."):
+                continue
+            if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
+                continue
+            layer[ours] = get(prefix + hf_name)
+        layer["router"] = get(prefix + "mlp.gate.weight", jnp.float32).T
+        for proj, ours in (("gate_proj", "expert_gate"),
+                           ("up_proj", "expert_up"),
+                           ("down_proj", "expert_down")):
+            layer[ours] = jnp.stack([
+                get(f"{prefix}mlp.experts.{e}.{proj}.weight")
+                for e in range(cfg.n_experts)])
+        layers.append(layer)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "final_norm": get("model.norm.weight"),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = get("lm_head.weight")
+    return params
+
+
 _QUANT_LINEARS = ("self_attn.q_proj", "self_attn.k_proj",
                   "self_attn.v_proj", "self_attn.o_proj",
                   "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
@@ -181,21 +243,31 @@ def load_model(path: str, *, quantize: bool = False, h=None,
     config.json, weights stored as ``weight_packed``/``weight_scale``)
     loads through :func:`quantized_params_from_hf_state_dict` instead;
     ``quantize``/``method``/``fmt`` are ignored for it.
+
+    ``model_type="qwen3_moe"`` checkpoints route to the MoE family
+    (:func:`moe_params_from_hf_state_dict`; quantization via
+    ``models.moe.quantize_model_weights``).
     """
     import json
     import os
 
-    from .transformer import quantize_model_weights
-
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
-    cfg = config_from_hf(hf_cfg)
     state = load_safetensors_dir(path)
-    if "quantization_config" in hf_cfg or any(
-            k.endswith(".weight_packed") for k in state):
-        return cfg, quantized_params_from_hf_state_dict(
-            cfg, state, weight_format=weight_format, dtype=dtype)
-    params = params_from_hf_state_dict(cfg, state, dtype=dtype)
+
+    moe = hf_cfg.get("model_type") == "qwen3_moe" or "num_experts" in hf_cfg
+    if moe:
+        from .moe import quantize_model_weights
+        cfg = moe_config_from_hf(hf_cfg)
+        params = moe_params_from_hf_state_dict(cfg, state, dtype=dtype)
+    else:
+        from .transformer import quantize_model_weights
+        cfg = config_from_hf(hf_cfg)
+        if "quantization_config" in hf_cfg or any(
+                k.endswith(".weight_packed") for k in state):
+            return cfg, quantized_params_from_hf_state_dict(
+                cfg, state, weight_format=weight_format, dtype=dtype)
+        params = params_from_hf_state_dict(cfg, state, dtype=dtype)
     if quantize:
         if h is None:
             from ..utils import hadamard_matrix

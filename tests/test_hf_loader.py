@@ -160,6 +160,74 @@ def test_load_model_nv_format(tmp_path):
     assert {"wqt", "wst", "gs"} <= set(lw4) and "nvi8" not in lw4, set(lw4)
 
 
+def test_load_model_qwen3_moe(tmp_path):
+    """qwen3_moe checkpoint: router + per-expert weights stack into the
+    MoE param tree; quantize=True runs the experts through W4A4."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.models import moe
+    from qutlass_tpu.models.hf_loader import load_model
+
+    cfg = moe.tiny_moe_config()
+    rng = np.random.default_rng(1)
+    state = _fake_state(cfg)
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}.mlp."
+        for k in ("gate_proj", "up_proj", "down_proj"):
+            del state[f"model.layers.{i}.mlp.{k}.weight"]
+        state[p + "gate.weight"] = rng.standard_normal(
+            (cfg.n_experts, cfg.hidden_size)).astype(np.float32) * 0.1
+        for e in range(cfg.n_experts):
+            ep = f"{p}experts.{e}."
+            state[ep + "gate_proj.weight"] = rng.standard_normal(
+                (cfg.moe_intermediate, cfg.hidden_size)
+            ).astype(np.float32) * 0.02
+            state[ep + "up_proj.weight"] = rng.standard_normal(
+                (cfg.moe_intermediate, cfg.hidden_size)
+            ).astype(np.float32) * 0.02
+            state[ep + "down_proj.weight"] = rng.standard_normal(
+                (cfg.hidden_size, cfg.moe_intermediate)
+            ).astype(np.float32) * 0.02
+    safetensors.save_file(state, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "model_type": "qwen3_moe",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": False,
+        "num_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.top_k,
+        "moe_intermediate_size": cfg.moe_intermediate,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    lcfg, params = load_model(str(tmp_path))
+    assert lcfg.n_experts == cfg.n_experts and lcfg.top_k == cfg.top_k
+    assert params["layers"][0]["router"].shape == (cfg.hidden_size,
+                                                  cfg.n_experts)
+    assert params["layers"][0]["expert_up"].shape == (
+        cfg.n_experts, cfg.moe_intermediate, cfg.hidden_size)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0,
+                              cfg.vocab_size)
+    out = moe.forward(lcfg, params, toks)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    from helpers import bf16_hadamard
+    h = bf16_hadamard(32)
+    qcfg, qparams = load_model(str(tmp_path), quantize=True, h=h)
+    lw = qparams["layers"][0]["expert_gate"][0]
+    assert "wi8" in lw or "wqt" in lw, set(lw)
+    qout = moe.forward(qcfg, qparams, toks, h, quantized=True)
+    assert np.isfinite(np.asarray(qout, np.float32)).all()
+
+
 def test_load_model_prequantized_checkpoint(tmp_path):
     """A pre-quantized checkpoint (compressed-tensors naming:
     weight_packed/weight_scale[/weight_global_scale]) loads through
