@@ -37,7 +37,7 @@ _LAYER_MAP = {
 
 def config_from_hf(hf_config: Mapping) -> ModelConfig:
     """Build a ModelConfig from an HF config dict (Qwen3/Llama style)."""
-    qk_norm = hf_config.get("model_type", "") == "qwen3" or \
+    qk_norm = str(hf_config.get("model_type", "")).startswith("qwen3") or \
         "qwen3" in str(hf_config.get("architectures", "")).lower()
     return ModelConfig(
         vocab_size=hf_config["vocab_size"],
@@ -158,6 +158,83 @@ _QUANT_LINEARS = ("self_attn.q_proj", "self_attn.k_proj",
                   "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
 
 
+def _state_getters(state: Mapping[str, np.ndarray], weight_format: str,
+                   dtype):
+    """(get, get_quantized) closures over a pre-quantized state dict:
+    ``get(key)`` loads a plain tensor as ``dtype``; ``get_quantized
+    (base_name)`` imports ``<base>.weight_packed``/``.weight_scale``
+    [/``.weight_global_scale``] into a stored evaluator dict (MX vs NV
+    keyed on the global scale's presence)."""
+    from ..io import import_mxfp4_weight, import_nvfp4_weight
+
+    def get(k, dt=dtype):
+        if k not in state:
+            raise KeyError(f"missing checkpoint tensor: {k}")
+        return jnp.asarray(np.asarray(state[k]), dt)
+
+    def get_quantized(name):
+        packed = state.get(name + ".weight_packed")
+        if packed is None:
+            raise KeyError(f"missing checkpoint tensor: {name}"
+                           ".weight_packed (not a quantized checkpoint?)")
+        packed = jnp.asarray(np.asarray(packed), jnp.uint8)
+        scales = jnp.asarray(
+            np.asarray(state[name + ".weight_scale"]).view(np.uint8))
+        gs = state.get(name + ".weight_global_scale")
+        if gs is not None:
+            return import_nvfp4_weight(packed, scales,
+                                       np.float32(np.asarray(gs).ravel()[0]),
+                                       weight_format=weight_format)
+        return import_mxfp4_weight(packed, scales,
+                                   weight_format=weight_format)
+
+    return get, get_quantized
+
+
+def quantized_moe_params_from_hf_state_dict(cfg,
+                                            state: Mapping[str, np.ndarray],
+                                            weight_format: str = "int8",
+                                            dtype=jnp.bfloat16):
+    """Pre-quantized qwen3_moe checkpoint (compressed-tensors naming on
+    the attention projections and every ``mlp.experts.{e}.*_proj``) ->
+    quantized MoE params pytree (per-expert lists of stored evaluator
+    dicts, the layout ``moe.quantize_model_weights`` produces).  The
+    router and norms load as plain tensors."""
+    get, get_quantized = _state_getters(state, weight_format, dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        prefix = f"model.layers.{i}."
+        layer = {}
+        for hf_name, ours in _LAYER_MAP.items():
+            if hf_name.startswith("mlp."):
+                continue
+            if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
+                continue
+            base = hf_name[: -len(".weight")]
+            if base in _QUANT_LINEARS:
+                layer[ours] = get_quantized(prefix + base)
+            else:
+                layer[ours] = get(prefix + hf_name)
+        layer["router"] = get(prefix + "mlp.gate.weight", jnp.float32).T
+        for proj, ours in (("gate_proj", "expert_gate"),
+                           ("up_proj", "expert_up"),
+                           ("down_proj", "expert_down")):
+            layer[ours] = [
+                get_quantized(f"{prefix}mlp.experts.{e}.{proj}")
+                for e in range(cfg.n_experts)]
+        layers.append(layer)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "final_norm": get("model.norm.weight"),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = get("lm_head.weight")
+    return params
+
+
 def quantized_params_from_hf_state_dict(cfg: ModelConfig,
                                         state: Mapping[str, np.ndarray],
                                         weight_format: str = "int8",
@@ -179,28 +256,7 @@ def quantized_params_from_hf_state_dict(cfg: ModelConfig,
     (unrotated) vLLM-style checkpoints, the matching Hadamard for
     FP-Quant/Quartet ones.
     """
-    from ..io import import_mxfp4_weight, import_nvfp4_weight
-
-    def get(k):
-        if k not in state:
-            raise KeyError(f"missing checkpoint tensor: {k}")
-        return jnp.asarray(np.asarray(state[k]), dtype)
-
-    def get_quantized(name):
-        packed = state.get(name + ".weight_packed")
-        if packed is None:
-            raise KeyError(f"missing checkpoint tensor: {name}"
-                           ".weight_packed (not a quantized checkpoint?)")
-        packed = jnp.asarray(np.asarray(packed), jnp.uint8)
-        scales = jnp.asarray(
-            np.asarray(state[name + ".weight_scale"]).view(np.uint8))
-        gs = state.get(name + ".weight_global_scale")
-        if gs is not None:
-            return import_nvfp4_weight(packed, scales,
-                                       np.float32(np.asarray(gs).ravel()[0]),
-                                       weight_format=weight_format)
-        return import_mxfp4_weight(packed, scales,
-                                   weight_format=weight_format)
+    get, get_quantized = _state_getters(state, weight_format, dtype)
 
     layers = []
     for i in range(cfg.num_layers):
@@ -256,15 +312,19 @@ def load_model(path: str, *, quantize: bool = False, h=None,
     state = load_safetensors_dir(path)
 
     moe = hf_cfg.get("model_type") == "qwen3_moe" or "num_experts" in hf_cfg
+    prequantized = "quantization_config" in hf_cfg or any(
+        k.endswith(".weight_packed") for k in state)
     if moe:
         from .moe import quantize_model_weights
         cfg = moe_config_from_hf(hf_cfg)
+        if prequantized:
+            return cfg, quantized_moe_params_from_hf_state_dict(
+                cfg, state, weight_format=weight_format, dtype=dtype)
         params = moe_params_from_hf_state_dict(cfg, state, dtype=dtype)
     else:
         from .transformer import quantize_model_weights
         cfg = config_from_hf(hf_cfg)
-        if "quantization_config" in hf_cfg or any(
-                k.endswith(".weight_packed") for k in state):
+        if prequantized:
             return cfg, quantized_params_from_hf_state_dict(
                 cfg, state, weight_format=weight_format, dtype=dtype)
         params = params_from_hf_state_dict(cfg, state, dtype=dtype)

@@ -210,6 +210,9 @@ def test_load_model_qwen3_moe(tmp_path):
 
     lcfg, params = load_model(str(tmp_path))
     assert lcfg.n_experts == cfg.n_experts and lcfg.top_k == cfg.top_k
+    # regression: qwen3_moe must get Qwen3's q/k norms (cfg equality
+    # guarantees the jitted program matches tiny_moe_config's)
+    assert lcfg == cfg
     assert params["layers"][0]["router"].shape == (cfg.hidden_size,
                                                   cfg.n_experts)
     assert params["layers"][0]["expert_up"].shape == (
@@ -226,6 +229,95 @@ def test_load_model_qwen3_moe(tmp_path):
     assert "wi8" in lw or "wqt" in lw, set(lw)
     qout = moe.forward(qcfg, qparams, toks, h, quantized=True)
     assert np.isfinite(np.asarray(qout, np.float32)).all()
+
+
+def test_load_model_prequantized_moe(tmp_path):
+    """Pre-quantized qwen3_moe checkpoint: attention + every expert
+    stored as weight_packed/weight_scale; loaded tree serves bitwise
+    like the directly-quantized MoE params it was exported from."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.io import export_quantized_weight
+    from qutlass_tpu.models import moe
+    from qutlass_tpu.models.hf_loader import load_model
+
+    from helpers import bf16_hadamard
+    cfg = moe.tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(3))
+    h = bf16_hadamard(32)
+    direct = moe.quantize_model_weights(cfg, params, h, fmt="mx",
+                                        weight_format="both")
+
+    state = {
+        "model.embed_tokens.weight": np.asarray(params["embed"],
+                                                np.float32),
+        "model.norm.weight": np.asarray(params["final_norm"], np.float32),
+        "lm_head.weight": np.asarray(params["lm_head"], np.float32),
+    }
+    att = {"q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+           "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj"}
+    norms = {"input_norm": "input_layernorm",
+             "post_attn_norm": "post_attention_layernorm",
+             "q_norm": "self_attn.q_norm", "k_norm": "self_attn.k_norm"}
+    for i, layer in enumerate(direct["layers"]):
+        p = f"model.layers.{i}."
+        for ours, hf in norms.items():
+            state[p + hf + ".weight"] = np.asarray(layer[ours], np.float32)
+        for ours, hf in att.items():
+            packed, scales = export_quantized_weight(layer[ours])
+            state[p + hf + ".weight_packed"] = np.asarray(packed)
+            state[p + hf + ".weight_scale"] = np.asarray(scales)
+        state[p + "mlp.gate.weight"] = np.ascontiguousarray(
+            np.asarray(layer["router"], np.float32).T)
+        for proj, ours in (("gate_proj", "expert_gate"),
+                           ("up_proj", "expert_up"),
+                           ("down_proj", "expert_down")):
+            for e in range(cfg.n_experts):
+                packed, scales = export_quantized_weight(layer[ours][e])
+                ep = f"{p}mlp.experts.{e}.{proj}."
+                state[ep + "weight_packed"] = np.asarray(packed)
+                state[ep + "weight_scale"] = np.asarray(scales)
+    safetensors.save_file(state, str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps({
+        "model_type": "qwen3_moe",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": False,
+        "num_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.top_k,
+        "moe_intermediate_size": cfg.moe_intermediate,
+        "quantization_config": {"format": "mxfp4-pack-quantized"},
+    }))
+
+    # weight_format="both" makes the loaded tree structurally identical
+    # to `direct` -> identical jit program -> bitwise forward (with
+    # "int8" the trees differ in dead leaves; the re-fused program
+    # shifts quantizer inputs by 1 ulp and MoE routing amplifies it —
+    # the documented composite-jit sensitivity, docs/NUMERICS.md)
+    lcfg, qparams = load_model(str(tmp_path), weight_format="both")
+    for i, dl in enumerate(direct["layers"]):
+        for ours in ("expert_gate", "expert_up", "expert_down"):
+            for e in range(cfg.n_experts):
+                got, want = qparams["layers"][i][ours][e], dl[ours][e]
+                assert set(got) == set(want), (ours, e)
+                for key in want:
+                    np.testing.assert_array_equal(
+                        np.asarray(got[key]), np.asarray(want[key]),
+                        err_msg=f"{ours}[{e}].{key}")
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0,
+                              cfg.vocab_size)
+    out_loaded = moe.forward(lcfg, qparams, toks, h, quantized=True)
+    out_direct = moe.forward(cfg, direct, toks, h, quantized=True)
+    np.testing.assert_array_equal(np.asarray(out_loaded),
+                                  np.asarray(out_direct))
 
 
 def test_load_model_prequantized_checkpoint(tmp_path):
