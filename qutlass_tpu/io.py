@@ -104,22 +104,25 @@ def export_packed_for_cuda(packed):
 
 
 def _rowmajor_to_kmajor(packed, scale_bytes, gs: int):
-    """(packed u8 [N, K/2], scales u8 [N, K/gs] or the reference's
-    padded buffer) -> (wqt u8 [K/2, N], wst u8 [K/gs, N])."""
+    """(packed u8 [N, K/2], scales u8 [N, K/gs] — also accepts the
+    reference's padded 2-D buffer or its ``to_blocked`` flattening) ->
+    (wqt u8 [K/2, N], wst u8 [K/gs, N])."""
     import jax.numpy as jnp
 
+    from . import _norm_scales
+    from .ops.int8path import _unpack
+
     packed = jnp.asarray(packed)
-    sb = jnp.asarray(scale_bytes)
+    if packed.dtype != jnp.uint8:
+        raise TypeError(
+            f"weight_packed must be uint8 e2m1 nibbles, got {packed.dtype} "
+            "(int32-packed checkpoints — GPTQ/AWQ/int4 pack-quantized — "
+            "are a different scheme, not supported)")
     n, k2 = packed.shape
     k = 2 * k2
-    if sb.ndim == 1:
-        sb = sb.reshape(n, -1)
-    if sb.shape != (n, k // gs):        # reference padded alloc buffer
-        sb = sb[:n, : k // gs]
-    codes = ((packed & 0xF).astype(jnp.uint8),
-             (packed >> 4).astype(jnp.uint8))
+    sb = _norm_scales(scale_bytes, n, k // gs)
     # [N, K] with element 2i from the low nibble, then K-major pairs
-    c = jnp.stack(codes, axis=-1).reshape(n, k).T        # [K, N]
+    c = _unpack(packed).T                                # [K, N]
     wqt = (c[0::2] | (c[1::2] << 4)).astype(jnp.uint8)   # [K/2, N]
     return wqt, sb.T
 
@@ -179,11 +182,10 @@ def export_quantized_weight(stored):
             "this dict stores only the int8 evaluator operand "
             f"(keys {sorted(stored)}). Quantize with weight_format='fp4' "
             "or 'both' to export.")
+    from .ops.int8path import _unpack_rows
+
     wqt, wst = jnp.asarray(stored["wqt"]), jnp.asarray(stored["wst"])
-    k2, n = wqt.shape
-    lo = (wqt & 0xF).astype(jnp.uint8)
-    hi = (wqt >> 4).astype(jnp.uint8)
-    codes = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n).T   # [N, K]
+    codes = _unpack_rows(wqt).T                                # [N, K]
     packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
     scales = wst.T
     if "gs" in stored:

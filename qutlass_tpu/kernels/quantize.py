@@ -424,6 +424,21 @@ def _quantize_nv_int8_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref, sg_ref,
         sg_ref[...] = sigma
 
 
+def _int8_tiles_infeasible(rows: int, k: int, bm: int, bk: int) -> bool:
+    """True when no lane-legal, VMEM-fitting bm exists for the fused
+    quantize+int8 kernels (the [k, bm] out block is double-buffered
+    with ~3 live f32 [bk, bm] intermediates): lane-illegal bm (huge K
+    halved below 128), or rows the halving loop couldn't shrink (odd,
+    or the bm=8 floor) still over the budget.  Callers compose the
+    bitwise-equal two-pass path instead."""
+    from .tuning import vmem_budgets
+
+    if bm % 128 != 0 and bm != rows:
+        return True
+    _, tile_cap = vmem_budgets()
+    return 2 * k * bm + 12 * bk * bm > tile_cap
+
+
 def _int8_out_specs(k, rows, bm, gs):
     """(out_shapes, out_specs) shared by both fused-int8 quantizers:
     full-K revisited int8 operand, full-K scale bytes, [1, rows] row
@@ -453,9 +468,10 @@ def fused_quantize_mx_int8(a: jax.Array, h: jax.Array, *, rot_size: int,
     rows = a.size // k
     x2 = a.reshape(rows, k)
     bm, bk = quantize_int8_tiles(rows, k)
-    if bm % 128 != 0 and bm != rows:
-        # huge K: the double-buffered [k, bm] out block can't fit VMEM
-        # at a lane-legal bm — compose the (bitwise-equal) two passes
+    if _int8_tiles_infeasible(rows, k, bm, bk):
+        # no lane-legal bm fits the double-buffered [k, bm] out block
+        # in VMEM (huge K, or odd/tiny rows that the halving loop
+        # can't shrink) — compose the (bitwise-equal) two passes
         from ..ops import int8path as I8
         cq, cs = fused_quantize_mx(a, h, rot_size=rot_size, method=method,
                                    layout="kmajor_codes")
@@ -495,8 +511,8 @@ def fused_quantize_nv_int8(a: jax.Array, h: jax.Array,
     rows = a.size // k
     x2 = a.reshape(rows, k)
     bm, bk = quantize_int8_tiles(rows, k)
-    if bm % 128 != 0 and bm != rows:
-        # huge K: no lane-legal bm fits VMEM — compose the two passes
+    if _int8_tiles_infeasible(rows, k, bm, bk):
+        # no lane-legal, VMEM-fitting bm — compose the two passes
         from ..ops import int8path as I8
         wqt, wst = fused_quantize_nv(a, h, global_scale,
                                      rot_size=rot_size, method=method,

@@ -100,11 +100,11 @@ def moe_config_from_hf(hf_config: Mapping):
         raise NotImplementedError(
             "mixed dense/MoE layer stacks (mlp_only_layers / "
             "decoder_sparse_step) are not supported")
+    import dataclasses
+
     base = config_from_hf(hf_config)
     return MoeConfig(
-        **{f.name: getattr(base, f.name)
-           for f in base.__dataclass_fields__.values()
-           if f.name in ModelConfig.__dataclass_fields__},
+        **dataclasses.asdict(base),
         n_experts=hf_config["num_experts"],
         top_k=hf_config["num_experts_per_tok"],
         moe_intermediate=hf_config["moe_intermediate_size"])
@@ -177,11 +177,28 @@ def _state_getters(state: Mapping[str, np.ndarray], weight_format: str,
         if packed is None:
             raise KeyError(f"missing checkpoint tensor: {name}"
                            ".weight_packed (not a quantized checkpoint?)")
-        packed = jnp.asarray(np.asarray(packed), jnp.uint8)
+        packed = np.asarray(packed)
+        if packed.dtype != np.uint8:
+            raise NotImplementedError(
+                f"{name}.weight_packed has dtype {packed.dtype}; only "
+                "uint8 e2m1-nibble checkpoints (nvfp4/mxfp4 "
+                "pack-quantized) are supported — int32-packed schemes "
+                "(GPTQ/AWQ/int4) are a different format")
+        packed = jnp.asarray(packed)
         scales = jnp.asarray(
             np.asarray(state[name + ".weight_scale"]).view(np.uint8))
-        gs = state.get(name + ".weight_global_scale")
-        if gs is not None:
+        # per-tensor global scale: compressed-tensors names it
+        # weight_global_scale; modelopt/vLLM exports use weight_scale_2
+        gs = state.get(name + ".weight_global_scale",
+                       state.get(name + ".weight_scale_2"))
+        k = 2 * packed.shape[1]
+        nv = gs is not None or scales.size == packed.shape[0] * (k // 16)
+        if nv:
+            if gs is None:
+                raise KeyError(
+                    f"{name}: group-16 (NVFP4) scales but no per-tensor "
+                    "global scale (weight_global_scale / weight_scale_2) "
+                    "in the checkpoint")
             return import_nvfp4_weight(packed, scales,
                                        np.float32(np.asarray(gs).ravel()[0]),
                                        weight_format=weight_format)
@@ -312,8 +329,17 @@ def load_model(path: str, *, quantize: bool = False, h=None,
     state = load_safetensors_dir(path)
 
     moe = hf_cfg.get("model_type") == "qwen3_moe" or "num_experts" in hf_cfg
-    prequantized = "quantization_config" in hf_cfg or any(
-        k.endswith(".weight_packed") for k in state)
+    prequantized = any(k.endswith(".weight_packed") for k in state)
+    qc = hf_cfg.get("quantization_config")
+    if qc and not prequantized:
+        blob = json.dumps(qc).lower()
+        if not any(t in blob for t in ("fp4", "float4", "e2m1")):
+            raise NotImplementedError(
+                "checkpoint carries a quantization_config for an "
+                f"unsupported scheme ({qc.get('quant_method', qc)}); only "
+                "fp4 pack-quantized (nvfp4/mxfp4) checkpoints are "
+                "importable")
+        prequantized = True
     if moe:
         from .moe import quantize_model_weights
         cfg = moe_config_from_hf(hf_cfg)

@@ -391,6 +391,76 @@ def test_load_model_prequantized_checkpoint(tmp_path):
                                   np.asarray(out_direct))
 
 
+def test_prequantized_scheme_detection():
+    """_state_getters: NV keyed on global scale under either name
+    (weight_global_scale / modelopt's weight_scale_2) or on group-16
+    scale shape; group-16 without a global scale and non-uint8 packing
+    raise descriptive errors."""
+    from qutlass_tpu.io import export_quantized_weight
+    from qutlass_tpu.models.hf_loader import _state_getters
+    from qutlass_tpu.models.transformer import quantize_weight
+
+    from helpers import bf16_hadamard
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32) * 0.05,
+                    jnp.bfloat16)
+    h = bf16_hadamard(32)
+    nv = quantize_weight(w, h=h, method="abs_max", fmt="nv",
+                         weight_format="both")
+    packed, scales, gs = export_quantized_weight(nv)
+
+    # modelopt naming: weight_scale_2
+    state = {"w.weight_packed": np.asarray(packed),
+             "w.weight_scale": np.asarray(scales),
+             "w.weight_scale_2": np.asarray(gs, np.float32).reshape(1)}
+    _, get_q = _state_getters(state, "int8", jnp.bfloat16)
+    d = get_q("w")
+    assert {"nvi8", "nvsb", "gs"} <= set(d)
+    np.testing.assert_array_equal(np.asarray(d["nvi8"]),
+                                  np.asarray(nv["nvi8"]))
+
+    # group-16 scales but no global scale anywhere -> descriptive error
+    del state["w.weight_scale_2"]
+    _, get_q = _state_getters(state, "int8", jnp.bfloat16)
+    with pytest.raises(KeyError, match="global scale"):
+        get_q("w")
+
+    # int32-packed (GPTQ-style) -> unsupported-scheme error
+    state_bad = {"w.weight_packed": np.zeros((64, 128), np.int32),
+                 "w.weight_scale": np.asarray(scales)}
+    _, get_q = _state_getters(state_bad, "int8", jnp.bfloat16)
+    with pytest.raises(NotImplementedError, match="uint8|GPTQ"):
+        get_q("w")
+
+
+def test_load_model_unsupported_quant_scheme(tmp_path):
+    """A quantization_config for a non-fp4 scheme (e.g. GPTQ) raises a
+    clear NotImplementedError instead of a confusing KeyError."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.models.hf_loader import load_model
+
+    cfg = tiny_config()
+    state = _fake_state(cfg)
+    safetensors.save_file(state, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "model_type": "qwen3",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "tie_word_embeddings": False,
+        "quantization_config": {"quant_method": "gptq", "bits": 4},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+    with pytest.raises(NotImplementedError, match="gptq"):
+        load_model(str(tmp_path))
+
+
 def test_load_model_llama_style_tied(tmp_path):
     """Llama-style config (no qk_norm) with tied embeddings."""
     import json

@@ -87,6 +87,20 @@ def test_import_export_quantized_weight_roundtrip():
     with pytest.raises(ValueError, match="int8"):
         qio.export_quantized_weight({"wi8": mx["wi8"], "wsb": mx["wsb"]})
 
+    # to_blocked 1-D flattening of the padded buffer imports correctly
+    # (regression: a naive reshape regrouped rows by the unpadded count)
+    padded128 = np.zeros((128, 8), np.uint8)
+    padded128[:64, :8] = np.asarray(scales)
+    flat = padded128.reshape(-1)
+    imp_f = qio.import_mxfp4_weight(packed, flat, weight_format="fp4")
+    np.testing.assert_array_equal(np.asarray(imp_f["wst"]),
+                                  np.asarray(mx["wst"]))
+
+    # int32-packed (GPTQ-style) operands are rejected with a clear error
+    with pytest.raises(TypeError, match="uint8"):
+        qio.import_mxfp4_weight(np.asarray(packed).astype(np.int32),
+                                scales, weight_format="fp4")
+
 
 def test_export_scales_for_cuda_matches_reference_swizzle():
     rng = np.random.default_rng(0)

@@ -96,9 +96,15 @@ def test_quantize_int8_tiles_legal(kind, rows):
     for k in NKS:
         bm, bk = quantize_int8_tiles(rows, k, kind=kind)
         assert k % bk == 0
-        if bm % 128 != 0 and bm != rows:
-            # the wrappers detect this and compose the two-pass path
+        lane_ok = bm % 128 == 0 or bm == rows
+        fits = 2 * k * bm + 12 * bk * bm <= tile_cap
+        if not (lane_ok and fits):
+            # exactly the cases _int8_tiles_infeasible routes to the
+            # bitwise-equal two-pass fallback (on the default device
+            # kind; other kinds have looser caps)
+            from qutlass_tpu.kernels.quantize import _int8_tiles_infeasible
+            if kind in (None, "TPU v5 lite", "made-up-device"):
+                assert _int8_tiles_infeasible(rows, k, bm, bk), \
+                    (kind, rows, k, bm, bk)
             continue
         assert _sublane_ok(bk // 32, k // 32), (k, bk)
-        assert 2 * k * bm + 12 * bk * bm <= tile_cap or bm == 8 \
-            or bm % 2 == 1, (kind, rows, k, bm, bk)
