@@ -79,3 +79,28 @@ def test_rejects_oversized_prompt(setup):
     cb = ContinuousBatcher(cfg, params, h, n_slots=2, max_len=16)
     with pytest.raises(ValueError, match="exceeds max_len"):
         cb.run([(np.arange(12), 8)])
+
+
+def test_stream_matches_solo_moe():
+    """MoE continuous batching (mlp hook): streamed prompts == solo
+    moe.generate bitwise on CPU (routing is per-row; capacity never
+    drops because per-expert occupancy <= m <= cap)."""
+    from qutlass_tpu.models import moe
+
+    cfg = moe.tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(2))
+    h = bf16_hadamard(32)
+    qparams = moe.quantize_model_weights(cfg, params, h)
+    rng = np.random.default_rng(3)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 9)), 4)
+               for _ in range(4)]
+    cb = ContinuousBatcher(cfg, qparams, h, n_slots=2, max_len=64,
+                           quantized=True, mlp=moe._moe_mlp_block)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        prompt = jnp.asarray(np.asarray(ids, np.int32)[None])
+        ref = np.asarray(moe.generate(cfg, qparams, prompt, h, steps=steps,
+                                      max_len=64, quantized=True,
+                                      pad_id=-1))[0]
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"moe prompt {i} diverged")
