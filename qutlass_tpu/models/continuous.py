@@ -81,7 +81,9 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- admission
     def _admit(self, slot: int, prompt_id: int, ids: np.ndarray, steps: int):
         t = len(ids)
-        tb = _bucket(t)
+        # the prefill block may not exceed the cache length (the slice
+        # update in serving._block requires update <= operand)
+        tb = min(_bucket(t), self.max_len)
         padded = np.zeros((1, tb), np.int32)
         padded[0, :t] = ids
         logits, cache1 = _prefill_one(
@@ -122,7 +124,7 @@ class ContinuousBatcher:
             for i, s in enumerate(self.slots):
                 if s.remaining <= 0 and queue:
                     pid, (ids, steps) = queue.pop(0)
-                    if self.pos.shape and len(ids) + steps > self.max_len:
+                    if len(ids) + steps > self.max_len:
                         raise ValueError(
                             f"prompt {pid}: len {len(ids)} + steps {steps} "
                             f"exceeds max_len {self.max_len}")

@@ -218,6 +218,7 @@ def quantized_moe_params_from_hf_state_dict(cfg,
     dicts, the layout ``moe.quantize_model_weights`` produces).  The
     router and norms load as plain tensors."""
     get, get_quantized = _state_getters(state, weight_format, dtype)
+    _, get_fp4 = _state_getters(state, "fp4", dtype)
 
     layers = []
     for i in range(cfg.num_layers):
@@ -237,9 +238,15 @@ def quantized_moe_params_from_hf_state_dict(cfg,
         for proj, ours in (("gate_proj", "expert_gate"),
                            ("up_proj", "expert_up"),
                            ("down_proj", "expert_down")):
-            layer[ours] = [
-                get_quantized(f"{prefix}mlp.experts.{e}.{proj}")
-                for e in range(cfg.n_experts)]
+            names = [f"{prefix}mlp.experts.{e}.{proj}"
+                     for e in range(cfg.n_experts)]
+            qs = [get_quantized(n) for n in names]
+            # expert stacks must be format-uniform for EP/TP stacking
+            # (see moe.quantize_model_weights): demote to fp4 if mixed
+            if any(set(d) != set(qs[0]) for d in qs):
+                qs = [d if "wi8" not in d else get_fp4(n)
+                      for n, d in zip(names, qs)]
+            layer[ours] = qs
         layers.append(layer)
 
     params = {

@@ -86,7 +86,16 @@ def quantize_model_weights(cfg: MoeConfig, params, h, method: str = "quest",
         for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
             ql[name] = quant(layer[name])
         for name in ("expert_gate", "expert_up", "expert_down"):
-            ql[name] = [quant(layer[name][e]) for e in range(cfg.n_experts)]
+            qs = [quant(layer[name][e]) for e in range(cfg.n_experts)]
+            # expert stacks must be format-uniform (stack_experts /
+            # EP sharding stack per-key): if any expert tripped the MX
+            # int8-exactness fallback, demote its siblings to fp4 too
+            if any(set(d) != set(qs[0]) for d in qs):
+                qs = [d if "wi8" not in d else
+                      quantize_weight(layer[name][e], h=h, method=method,
+                                      fmt=fmt, weight_format="fp4")
+                      for e, d in enumerate(qs)]
+            ql[name] = qs
         out["layers"].append(ql)
     return out
 
@@ -178,7 +187,6 @@ def forward(cfg: MoeConfig, params, tokens, h=None, *, quantized=False,
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("bgrts,bsgd->btgrd", probs,
                           vh.astype(jnp.float32)).astype(x.dtype)
-        attn = attn.reshape(b, t, cfg.num_heads, cfg.head_dim)
         attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
         x = x + _linear(attn, layer["o_proj"], h, method, quantized)
 

@@ -47,6 +47,13 @@ def stack_experts(cfg: MoeConfig, params):
         for name in ("expert_gate", "expert_up", "expert_down"):
             w = layer[name]
             if isinstance(w, (list, tuple)):
+                if any(set(e) != set(w[0]) for e in w):
+                    raise ValueError(
+                        f"{name}: experts carry heterogeneous stored "
+                        f"formats ({sorted(set(frozenset(e) for e in w), key=sorted)}); "
+                        "stacks must be format-uniform — quantize via "
+                        "moe.quantize_model_weights (which demotes mixed "
+                        "int8/fp4 stacks to fp4) before stacking")
                 ql[name] = {k: jnp.stack([e[k] for e in w]) for k in w[0]}
         out["layers"].append(ql)
     return out

@@ -323,7 +323,6 @@ def forward(cfg: ModelConfig, params, tokens: jax.Array, h: jax.Array = None,
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("bgrts,bsgd->btgrd", probs,
                           vh.astype(jnp.float32)).astype(x.dtype)
-        attn = attn.reshape(b, t, cfg.num_heads, cfg.head_dim)
         attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
         x = x + _linear(attn, layer["o_proj"], h, method, quantized)
 

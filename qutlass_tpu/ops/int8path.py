@@ -46,12 +46,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# value-times-two table for e2m1 magnitude codes 0..7 (numpy: a
-# module-level jnp constant would leak a tracer if this module is first
-# imported inside a jit trace)
-_M2 = np.asarray([0, 1, 2, 3, 4, 6, 8, 12], np.int32)
-
-
 def _codes_to_m2(codes):
     """e2m1 codes u8 -> signed integer 2*value, int32.
 

@@ -104,3 +104,19 @@ def test_stream_matches_solo_moe():
                                       pad_id=-1))[0]
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"moe prompt {i} diverged")
+
+
+def test_bucket_clamped_to_max_len(setup):
+    """A prompt whose padding bucket exceeds max_len must still admit
+    (the prefill block is clamped to the cache length)."""
+    cfg, params, _, h = setup
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, cfg.vocab_size, 40)      # _bucket(40) = 64
+    cb = ContinuousBatcher(cfg, params, h, n_slots=2, max_len=50,
+                           quantized=False)
+    outs = cb.run([(ids, 8)])
+    prompt = jnp.asarray(np.asarray(ids, np.int32)[None])
+    from qutlass_tpu.models import generate as _gen
+    ref = np.asarray(_gen(cfg, params, prompt, h, steps=8, max_len=50,
+                          quantized=False, pad_id=-1))[0]
+    np.testing.assert_array_equal(outs[0], ref)

@@ -111,3 +111,48 @@ def test_moe_nvfp4_quantized_forward():
                moe.quantize_model_weights(cfg, params, h, fmt="nv")["layers"])
     assert cos(outs["int8"], ref) > cos(outs["fp4"], ref) - 0.05, \
         (cos(outs["int8"], ref), cos(outs["fp4"], ref))
+
+
+def test_mixed_int8_fallback_demotes_stack():
+    """An expert whose row-exponent spread trips the MX int8-exactness
+    fallback must demote its whole stack to fp4 (format-uniform lists
+    are required by moe_tp.stack_experts / EP sharding)."""
+    import jax
+    import jax.numpy as jnp
+    from qutlass_tpu.models import moe
+    from qutlass_tpu.models.moe_tp import stack_experts
+    from helpers import bf16_hadamard
+
+    cfg = moe.tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(5))
+    h = bf16_hadamard(32)
+    # expert 1's gate weight: per-32-group magnitudes spanning ~40
+    # binades (the rotation mixes only within groups, so group scales
+    # stay wildly separated -> dmax > 3 -> fp4 fallback)
+    w = np.asarray(params["layers"][0]["expert_gate"],
+                   np.float32)
+    bad = w[1].copy()
+    bad[:, :32] *= 2.0 ** -40
+    w[1] = bad
+    params["layers"][0]["expert_gate"] = jnp.asarray(w, jnp.bfloat16)
+
+    qp = moe.quantize_model_weights(cfg, params, h, weight_format="int8")
+    stack = qp["layers"][0]["expert_gate"]
+    keysets = [set(d) for d in stack]
+    assert all(ks == keysets[0] for ks in keysets), keysets
+    assert "wqt" in keysets[0] and "wi8" not in keysets[0], keysets[0]
+    # other layers / stacks keep int8 where uniformly exact
+    assert any("wi8" in d for d in qp["layers"][1]["expert_gate"])
+    stacked = stack_experts(cfg, qp)     # must not raise
+    assert stacked["layers"][0]["expert_gate"]["wqt"].shape[0] == \
+        cfg.n_experts
+
+    # stack_experts raises descriptively on a hand-built mixed stack
+    import pytest as _pytest
+    broken = {**qp, "layers": [dict(qp["layers"][0])] + qp["layers"][1:]}
+    broken["layers"][0] = dict(broken["layers"][0])
+    broken["layers"][0]["expert_up"] = (
+        [qp["layers"][1]["expert_gate"][0]] +
+        list(qp["layers"][0]["expert_gate"][1:]))
+    with _pytest.raises(ValueError, match="heterogeneous"):
+        stack_experts(cfg, broken)
