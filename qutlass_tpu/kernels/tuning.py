@@ -92,8 +92,20 @@ def quantize_int8_tiles(rows: int, k: int,
         bm = 128
     else:
         bm = rows
-    # 2x revisited int8 out block + ~3 live f32 [bk, bm] intermediates
-    while bm > 8 and bm % 2 == 0 and 2 * k * bm + 12 * bk * bm > tile_cap:
+
+    def cost(bm, bk):
+        # 2x revisited int8 out block + ~3 live f32 [bk, bm] blocks
+        return 2 * k * bm + 12 * bk * bm
+
+    # relieve the per-step intermediates first (bk doesn't change the
+    # dominant out-block term, and shrinking it keeps bm lane-legal for
+    # K around 30k where halving bm would force the two-pass fallback)
+    while cost(bm, bk) > tile_cap and k % 256 == 0 and bk > 256:
+        nk = largest_divisor_multiple(k, 256, bk // 2)
+        if nk == bk:
+            break
+        bk = nk
+    while bm > 8 and bm % 2 == 0 and cost(bm, bk) > tile_cap:
         bm //= 2
     return bm, bk
 
