@@ -1,0 +1,82 @@
+"""On-device re-check of the session-4 changes (run when the TPU
+tunnel recovers; CPU-emulation equivalents were green throughout).
+
+1. fused quantize+int8 kernels at the NEW tile regime (K=25600:
+   bm=128/bk=256 after the bk-first VMEM relief) — bitwise vs the XLA
+   two-pass twins on the real device.
+2. K=51200 (the genuine fallback regime) — wrappers compose the
+   two-pass path; outputs bitwise equal to calling it directly.
+3. A pre-quantized-interop roundtrip on-device.
+
+    python benchmarks/tpu_recheck_r2s4.py
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import qutlass_tpu as q
+from qutlass_tpu.kernels import quantize as KQ
+from qutlass_tpu.ops import emulation as E, int8path as I8
+
+
+def hadamard(n):
+    h = np.array([[1.0]])
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return jnp.asarray((h * n ** -0.5).astype(ml_dtypes.bfloat16))
+
+
+print("devices:", jax.devices())
+rng = np.random.default_rng(0)
+h = hadamard(32)
+
+for rows, k, label in ((256, 25600, "new bm=128/bk=256 regime"),
+                       (128, 51200, "two-pass fallback regime"),
+                       (256, 5120, "standard regime")):
+    x = jnp.asarray((rng.standard_normal((rows, k)) * 2)
+                    .astype(ml_dtypes.bfloat16))
+    pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
+                                             method="quest")
+    ea, esa, esb = E.fused_quantize_mx_int8(x, h, rot_size=32,
+                                            method="quest")
+    assert np.array_equal(np.asarray(pa), np.asarray(ea)), (rows, k)
+    assert np.array_equal(np.asarray(psa), np.asarray(esa)), (rows, k)
+    assert np.array_equal(np.asarray(psb), np.asarray(esb)), (rows, k)
+    print(f"OK fused mx int8 [{rows}, {k}] ({label})")
+
+# NV variant at the new regime
+gs = jnp.asarray(1.7, jnp.float32)
+h16 = hadamard(16)
+x = jnp.asarray((rng.standard_normal((256, 25600)) * 2)
+                .astype(ml_dtypes.bfloat16))
+na, nsg, nsb = KQ.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                         method="abs_max")
+ma, msg, msb = E.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                        method="abs_max")
+assert np.array_equal(np.asarray(na), np.asarray(ma))
+assert np.array_equal(np.asarray(nsg), np.asarray(msg))
+assert np.array_equal(np.asarray(nsb), np.asarray(msb))
+print("OK fused nv int8 [256, 25600]")
+
+# interop roundtrip on-device
+from qutlass_tpu import io as qio
+from qutlass_tpu.models.transformer import quantize_weight
+
+w = jnp.asarray((rng.standard_normal((256, 512)) * 0.05)
+                .astype(ml_dtypes.bfloat16))
+mx = quantize_weight(w, h=h, method="quest", fmt="mx", weight_format="both")
+pk, sc = qio.export_quantized_weight(mx)
+imp = qio.import_mxfp4_weight(pk, sc, weight_format="both")
+for kk in ("wqt", "wst", "wi8", "wsb"):
+    assert np.array_equal(np.asarray(imp[kk]), np.asarray(mx[kk])), kk
+print("OK interop roundtrip on-device")
+print("ALL OK")
