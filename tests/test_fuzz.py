@@ -281,3 +281,46 @@ def test_fuzz_nv_int8_evaluator_bound(seed):
              ) / (float(gsa) * float(gsb)) * (1 + 1e-4) + 1e-9
     assert (np.abs(y - yref) <= bound).all(), \
         (seed, float((np.abs(y - yref) / bound).max()))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_interop_roundtrip(seed):
+    """Random export -> import roundtrips of the reference row-major
+    layout: stored operands reproduce bitwise for random shapes, both
+    formats, and all three scale-argument spellings (exact, padded
+    buffer, to_blocked flattening)."""
+    from qutlass_tpu import io as qio
+    from qutlass_tpu.models.transformer import quantize_weight
+    from qutlass_tpu.utils import round_up
+
+    rng = np.random.default_rng(11000 + seed)
+    n = int(rng.choice([16, 64, 96, 200]))
+    k = int(rng.choice([128, 256, 512]))
+    fmt = str(rng.choice(["mx", "nv"]))
+    method = "abs_max" if fmt == "nv" else str(rng.choice(["quest",
+                                                           "abs_max"]))
+    w = randn_bf16(rng, n, k, scale=float(rng.uniform(0.01, 0.5)))
+    h = bf16_hadamard(32)
+    d = quantize_weight(w, h=h, method=method, fmt=fmt,
+                        weight_format="both")
+    out = qio.export_quantized_weight(d)
+    packed, scales = out[0], out[1]
+    gs = out[2] if fmt == "nv" else None
+
+    variants = [scales]
+    pr, pc = round_up(n, 128), round_up(scales.shape[1], 4)
+    padded = np.zeros((pr, pc), np.uint8)
+    padded[:n, : scales.shape[1]] = np.asarray(scales)
+    variants += [padded, padded.reshape(-1)]
+
+    for sv in variants:
+        if fmt == "nv":
+            imp = qio.import_nvfp4_weight(packed, sv, gs,
+                                          weight_format="both")
+        else:
+            imp = qio.import_mxfp4_weight(packed, sv, weight_format="both")
+        assert set(imp) == set(d), (seed, set(imp), set(d))
+        for key in d:
+            np.testing.assert_array_equal(np.asarray(imp[key]),
+                                          np.asarray(d[key]),
+                                          err_msg=f"{seed}:{key}")
