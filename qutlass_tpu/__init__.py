@@ -306,8 +306,9 @@ def fused_linear_mxf4(x, wqt, wst, h, alpha=None, *, method: str = "quest"):
                                        _as_bytes(wst), al)
         return y.reshape(*x.shape[:-1], y.shape[-1])
     impl = kn.fused_linear_mxf4 if kn else _emu.fused_linear_mxf4
-    return impl(x, _as_bytes(wqt), _as_bytes(wst), h, alpha,
-                rot_size=rot, method=method)
+    y = impl(x.reshape(-1, k), _as_bytes(wqt), _as_bytes(wst), h, alpha,
+             rot_size=rot, method=method)
+    return y.reshape(*x.shape[:-1], y.shape[-1])
 
 
 def matmul_ada_mxf4_bf16_tn(a, b, a_sf, b_sf, alpha):
@@ -364,8 +365,9 @@ def fused_linear_nvf4(x, wqt, wst, h, global_scale, alpha=None, *,
                                        _as_bytes(wst), alpha)
         return y.reshape(*x.shape[:-1], y.shape[-1])
     impl = kn.fused_linear_nvf4 if kn else _emu.fused_linear_nvf4
-    return impl(x, _as_bytes(wqt), _as_bytes(wst), h, global_scale, alpha,
-                rot_size=rot, method=method)
+    y = impl(x.reshape(-1, k), _as_bytes(wqt), _as_bytes(wst), h,
+             global_scale, alpha, rot_size=rot, method=method)
+    return y.reshape(*x.shape[:-1], y.shape[-1])
 
 
 def matmul_mxf8_bf16_tn(a, b, a_sf, b_sf, alpha):

@@ -99,7 +99,7 @@ def _backward_qt_kernel(alpha_ref, xq_ref, xst_ref, h2_ref, q_ref, st_ref):
     # dequant WITHOUT alpha (quartet_bwd_sm120.cu:368-374); scales arrive
     # pre-transposed [N/32, M] (input lane-width rule)
     pk_t = xq_ref[...].T                       # [bn/2, bm] u8
-    codes = _unpack_interleaved_arr(pk_t)      # [bn, bm]
+    codes = _unpack_interleaved(pk_t)      # [bn, bm]
     sexp = _expand_scales(xst_ref[...].astype(jnp.int32), 32)
     dq = C.e2m1_decode_scaled_bf16(codes, sexp)  # [bn, bm] (rows n, lanes m)
 
@@ -117,12 +117,6 @@ def _backward_qt_kernel(alpha_ref, xq_ref, xst_ref, h2_ref, q_ref, st_ref):
     packed = _pack_sublane_pairs(C.e2m1_rtne_codes(q))  # [bm/2, bn]
     q_ref[...] = packed.T                      # [bn, bm/2] -> out [N, M/2]
     st_ref[...] = byte.astype(jnp.uint8)       # [bm/32, bn] -> [M/32, N]
-
-
-def _unpack_interleaved_arr(pk):
-    v = pk.astype(jnp.int32)
-    u16 = ((v & 0xF) | ((v & 0xF0) << 4)).astype(jnp.uint16)
-    return pltpu.bitcast(u16, jnp.uint8).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("rot_size",))
@@ -205,7 +199,7 @@ def _square_double_kernel(x_ref, fp8_ref, rs_ref):
 
 @jax.jit
 def backward_bf16_square_double_mxfp8_2d(x: jax.Array):
-    """x [M, N] bf16 (M % 128 == 0, N % 32 == 0) ->
+    """x [M, N] bf16 (M % 256 == 0, N % 32 == 0) ->
     (fp8 u8 [M, N], row_scales u8 [M, N/32], col_scales u8 [N, M/32]).
 
     The kernel emits one [M/32, N/32] shared-exponent matrix; both scale
@@ -213,6 +207,11 @@ def backward_bf16_square_double_mxfp8_2d(x: jax.Array):
     Reference: quartet_bwd_sm120.cu:496-624.
     """
     m, n = x.shape
+    if m % 256 or n % 32:
+        raise ValueError(
+            f"backward_bf16_square_double_mxfp8_2d needs M % 256 == 0 and "
+            f"N % 32 == 0, got [{m}, {n}] (other shapes route to "
+            "emulation via ops.pallas_ops)")
     # bm = 256 keeps the shared-exponent output block's sublane dim at 8
     # (the Mosaic minimum); m % 256 != 0 routes to emulation (pallas_ops)
     bm = 256
@@ -306,7 +305,7 @@ def _fp4t_fp8_kernel(xq_ref, xst_ref, fp8_ref, st_ref):
     bm = xq_ref.shape[0]
     bn = xq_ref.shape[1] * 2
     pk_t = xq_ref[...].T                       # [bn/2, bm]
-    codes = _unpack_interleaved_arr(pk_t)      # [bn, bm]
+    codes = _unpack_interleaved(pk_t)      # [bn, bm]
     sexp = _expand_scales(xst_ref[...].astype(jnp.int32), 32)
     dq = C.e2m1_decode_scaled_bf16(codes, sexp)          # [bn, bm]
     z = dq.T.astype(jnp.float32)               # [bm, bn], M on sublanes
@@ -331,7 +330,7 @@ def _fp4t_scaled_kernel(xq_ref, xst_ref, out_ref):
     bm = xq_ref.shape[0]
     bn = xq_ref.shape[1] * 2
     pk_t = xq_ref[...].T
-    codes = _unpack_interleaved_arr(pk_t)
+    codes = _unpack_interleaved(pk_t)
     sexp = _expand_scales(xst_ref[...].astype(jnp.int32), 32)
     dq = C.e2m1_decode_scaled_bf16(codes, sexp)
     z = dq.T.astype(jnp.float32)               # [bm, bn], M on sublanes

@@ -45,7 +45,9 @@ def _rtne_e2m1_values(q):
 
     Same rounding as e2m1_rtne_codes but skips the code round-trip.
     """
-    s = jnp.sign(q)
+    # sign(NaN) is NaN and would defeat the isnan -> 0 mapping below
+    # (e2m1_rtne_codes maps NaN to code 0; this must match bitwise)
+    s = jnp.where(jnp.isnan(q), 0.0, jnp.sign(q))
     a = jnp.abs(q)
     a = jnp.where(jnp.isnan(a), 0.0, jnp.minimum(a, 6.0))
     v1 = lax.round(a * 2.0, _RTNE) * 0.5

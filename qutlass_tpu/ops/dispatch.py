@@ -32,7 +32,7 @@ def get_backend() -> str:
 @lru_cache(maxsize=1)
 def on_tpu() -> bool:
     try:
-        return jax.default_backend() not in ("cpu", "gpu")
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

@@ -102,7 +102,11 @@ def fused_quantize_mx(a: jax.Array, h: jax.Array, *, rot_size: int,
     packed = _pack_codes(codes)
     sbytes = byte.reshape(rows, k // 32).astype(jnp.uint8)
     if layout == "kmajor_codes":
-        return codes.reshape(rows, k).T.astype(jnp.uint8), sbytes.T
+        ck = codes.reshape(rows, k).T.astype(jnp.uint8)
+        if return_mask:
+            return ck, sbytes.T, _pack_mask(jnp.abs(q) < 6.0).reshape(
+                rows, k // 8).T
+        return ck, sbytes.T
     if layout == "kmajor":
         pk = packed.reshape(rows, k // 2).T
         if return_mask:

@@ -45,8 +45,9 @@ def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 5,
     A single jitted dispatch through the remote-TPU tunnel costs a
     large constant (~30 ms measured on the axon tunnel) regardless of
     device work, so one absolute timing is meaningless.  This runs the
-    chained scan at ``iters`` and ``3*iters`` iterations and returns
-    the slope — per-iteration device time — dividing out the constant.
+    chained scan at ``iters`` and ``5*iters`` iterations and returns
+    the slope (t5 - t1) / (4*iters*chain) — per-iteration device time —
+    dividing out the constant.
     """
     import inspect
 
