@@ -135,9 +135,10 @@ def e2m1_decode_scaled_bf16(codes: jax.Array, scale_bytes: jax.Array) -> jax.Arr
     on the bf16 exponent field, which keeps the whole dequant in int ops
     until one final bitcast — exact, and fast on the VPU.
 
-    Exponent-field underflow flushes to zero; overflow (scale byte near
-    254) is out of range for scales produced by the quantizers on finite
-    bf16 data and is not guarded.
+    Exponent-field underflow produces the exact bf16 SUBNORMAL (the
+    2-bit e2m1 significand shifts without loss down to scale byte 0);
+    overflow (scale byte near 254) is out of range for scales produced
+    by the quantizers on finite bf16 data and is not guarded.
     """
     # bf16 bits of grid[mag] * 2^(scale-127):
     #   mag==0          -> 0
@@ -149,8 +150,19 @@ def e2m1_decode_scaled_bf16(codes: jax.Array, scale_bytes: jax.Array) -> jax.Arr
     mag = codes & 7
     e = mag >> 1
     mant = ((codes & 1) & jnp.minimum(e, 1)) << 6
-    bits = ((e + scale_bytes - 1) << 7) | mant
-    bits = jnp.where(mag == 0, 0, jnp.maximum(bits, 0))  # exp underflow -> 0
+    x = e + scale_bytes - 1                        # bf16 exponent field
+    norm = (x << 7) | mant
+    # x <= 0: subnormal — significand 1.m (bits 0x80|mant, point at bit
+    # 7) shifted right by 1-x with RTNE on shifted-out bits (exact for
+    # all e2m1 codes down to x >= -6; ties only deeper)
+    s = jnp.clip(1 - x, 1, 15)
+    sig = 0x80 | mant
+    shifted = sig >> s
+    rem = sig & ((1 << s) - 1)
+    half = 1 << (s - 1)
+    subn = shifted + ((rem > half) | ((rem == half) & (shifted & 1))
+                      ).astype(jnp.int32)
+    bits = jnp.where(mag == 0, 0, jnp.where(x > 0, norm, subn))
     bits = bits | ((codes & 8) << 12)              # sign -> bit 15
     return _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
 
@@ -273,17 +285,31 @@ def e4m3_decode_scaled_bf16(bytes_: jax.Array, scale_bytes: jax.Array) -> jax.Ar
     sign = (b >> 7) & 1
     e = (b >> 3) & 0xF
     m = b & 7
-    # Normalize subnormals: value m*2^-9 = (1+mm/2^k...)  Use a 3-bit
-    # priority decode: m in 1..7 -> (exp_adj, mant)
-    #   m=1 -> 2^-9        : e'= -2? ... simpler: bf16 has plenty of range,
-    # subnormal e4m3 = m * 2^-9; as bf16 bits: built from fp32 path below.
-    # Normal: bf16 exp field = e - 7 + 127 = e + 120; mant7 = m << 4.
-    exp_field = e + 120 + scale_bytes - 127
-    bits = jnp.where(e == 0, 0, (jnp.clip(exp_field, 0, 255) << 7) | (m << 4))
+    # Subnormal e4m3 (e == 0): value m*2^-9 — normalize the 3-bit
+    # mantissa (t = position of its top bit) so both cases share one
+    # (exponent-field, mantissa7) encoding below.  Normal: bf16 exp
+    # field = e - 7 + 127 + (scale-127); mant7 = m << 4.
+    t = jnp.where(m > 3, 2, jnp.where(m > 1, 1, 0))
+    mant_sub = (m - (1 << t)) << (7 - t)
+    x_sub = t + scale_bytes - 9
+    x = jnp.where(e == 0, x_sub, e + 120 + scale_bytes - 127)
+    mant = jnp.where(e == 0, mant_sub, m << 4)
+    # x <= 0 -> bf16 subnormal with RTNE on the shifted-out significand
+    # bits (matches the fp64 oracle's bf16 cast, integer-only — an f32
+    # product here would hit flush-to-zero on subnormal intermediates);
+    # x >= 255 -> inf (saturating).  Both are unreachable from the
+    # quantizers' own scale bytes, guarded for imported data.
+    s = jnp.clip(1 - x, 1, 15)
+    sig = 0x80 | mant
+    shifted = sig >> s
+    rem = sig & ((1 << s) - 1)
+    half = 1 << (s - 1)
+    subn = shifted + ((rem > half) | ((rem == half) & (shifted & 1))
+                      ).astype(jnp.int32)
+    hi = jnp.where(x >= 255, 255 << 7, (x << 7) | mant)
+    bits = jnp.where((e == 0) & (m == 0), 0,
+                     jnp.where(x > 0, hi, subn))
     v = _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
-    # Subnormal fallback (rare: only when data quantized to < 2^-6).
-    sub = (m.astype(jnp.float32) * (2.0 ** -9)) * e8m0_decode_f32(scale_bytes)
-    v = jnp.where(e == 0, sub.astype(jnp.bfloat16), v)
     return jnp.where(sign == 1, -v, v)
 
 
@@ -353,7 +379,10 @@ def mxfp8_shared_exp_bytes(amax: jax.Array, shift: int = 7) -> jax.Array:
     """MXFP8 double-quant shared exponent: floor(log2(amax)) - shift + 127.
 
     quartet_bwd_sm120.cu:503-509 (``encode_e8m0_shiftm8`` semantics with
-    the -7 shift); amax == 0 maps to byte 127 (scale 1.0).
+    the -7 shift); amax == 0 maps to byte 127 (scale 1.0).  The
+    subtraction wraps mod 256 like the reference's uint8 store (and the
+    fp64 golden): a tile with amax < 2^-120 gets a huge wrapped scale
+    and quantizes to 0 — same bytes as quartet_test.py's oracle.
     """
     _, byte = pow2_floor_e8m0(amax)
-    return jnp.where(amax > 0.0, byte - shift, 127)
+    return jnp.where(amax > 0.0, (byte - shift) % 256, 127)

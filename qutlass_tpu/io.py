@@ -173,9 +173,20 @@ def export_quantized_weight(stored):
     bytes (weight_format "fp4" or "both"); int8-only dicts absorbed the
     group scales into the operand and cannot reproduce the original
     codes — re-import or re-quantize with weight_format="both" to
-    export."""
+    export.  abs_max MX dicts ("am" marker) are rejected: their codes
+    are 3x-scaled (dequant = code * scale / 3) and the on-disk
+    convention is plain ``value = code * scale`` — 1/3 is neither on
+    the e2m1 grid nor a power of two, so no bitwise re-expression
+    exists; re-quantize with method="quest" to export."""
     import jax.numpy as jnp
 
+    if "am" in stored:
+        raise ValueError(
+            "export_quantized_weight: abs_max-quantized MX weights store "
+            "3x-scaled codes (dequant = code * scale / 3); the reference "
+            "row-major on-disk layout dequantizes as code * scale and "
+            "cannot represent them. Re-quantize with method='quest' to "
+            "export.")
     if "wqt" not in stored:
         raise ValueError(
             "export_quantized_weight needs the packed fp4 bytes (wqt/wst); "

@@ -156,54 +156,14 @@ def _moe_mlp(cfg: MoeConfig, layer, x2, h, method, quantized):
     return y.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method"))
 def forward(cfg: MoeConfig, params, tokens, h=None, *, quantized=False,
             method: str = "quest"):
-    """Prefill forward for the MoE family: [B, T] -> logits [B, T, V]."""
-    b, t = tokens.shape
-    x = params["embed"][tokens]
-    positions = jnp.arange(t)
-    causal = jnp.tril(jnp.ones((t, t), bool))
+    """Prefill forward for the MoE family: [B, T] -> logits [B, T, V]
+    (transformer.forward with the MoE MLP hook)."""
+    from .transformer import forward as _tf_forward
+    return _tf_forward(cfg, params, tokens, h, quantized=quantized,
+                       method=method, mlp=_moe_mlp_block)
 
-    for layer in params["layers"]:
-        xin = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
-        qh = _linear(xin, layer["q_proj"], h, method, quantized)
-        kh = _linear(xin, layer["k_proj"], h, method, quantized)
-        vh = _linear(xin, layer["v_proj"], h, method, quantized)
-        qh = qh.reshape(b, t, cfg.num_heads, cfg.head_dim)
-        kh = kh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        vh = vh.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:
-            qh = _rms_norm(qh, layer["q_norm"], cfg.rms_eps)
-            kh = _rms_norm(kh, layer["k_norm"], cfg.rms_eps)
-        qh = _rope(qh, positions, cfg.rope_theta)
-        kh = _rope(kh, positions, cfg.rope_theta)
-        rep = cfg.num_heads // cfg.num_kv_heads
-        # grouped attention without materializing the rep-fold KV repeat
-        q5 = qh.reshape(b, t, cfg.num_kv_heads, rep, cfg.head_dim)
-        scores = jnp.einsum("btgrd,bsgd->bgrts", q5.astype(jnp.float32),
-                            kh.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
-        scores = jnp.where(causal[None, None, None], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bgrts,bsgd->btgrd", probs,
-                          vh.astype(jnp.float32)).astype(x.dtype)
-        attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
-        x = x + _linear(attn, layer["o_proj"], h, method, quantized)
-
-        xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
-        y = _moe_mlp(cfg, layer, xin.reshape(b * t, -1), h, method, quantized)
-        x = x + y.reshape(b, t, -1)
-
-    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
-    head = params.get("lm_head", params["embed"])
-    logits = jax.lax.dot_general(x, head, (((2,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    return logits
-
-
-# ---------------------------------------------------------------------------
-# serving (KV cache) — reuses the dense serving harness with the MoE MLP
-# ---------------------------------------------------------------------------
 
 def _moe_mlp_block(cfg, layer, xin, h, method, quantized):
     """serving._block ``mlp`` hook: [B, T, D] -> [B, T, D]."""

@@ -74,7 +74,9 @@ def param_specs(cfg: MoeConfig, quantized: bool = True, axis: str = "tp",
                      # NV int8 stacks: nvi8 [E, K, N], nvsb [E, N],
                      # per-expert global scale gs [E]
                      "nvi8": P(axis, None, None), "nvsb": P(axis, None),
-                     "gs": P(axis)}
+                     "gs": P(axis),
+                     # abs_max marker stacks to [E]
+                     "am": P(axis)}
     specs = {
         "embed": P(None, None),
         "final_norm": P(None),

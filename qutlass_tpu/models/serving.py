@@ -225,13 +225,22 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
                 "the KV cache cannot hold the generated positions")
     else:
         try:                       # concrete at top-level dispatch
-            max_prompt = int(np.max(np.asarray(lengths)))
+            lnp = np.asarray(lengths)
         except Exception:          # traced (called under an outer jit)
-            max_prompt = None
-        if max_prompt is not None and max_prompt + steps > max_len:
-            raise ValueError(
-                f"max_len={max_len} < max(lengths)({max_prompt}) + "
-                f"steps({steps}): ragged cache writes would be dropped")
+            lnp = None
+        if lnp is not None:
+            # gather indices clamp silently under jit: lengths-1 reads
+            # position 0 for lengths == 0, T-1 for lengths > T — wrong
+            # tokens with no error.  Validate while concrete.
+            if int(lnp.min()) < 1 or int(lnp.max()) > t:
+                raise ValueError(
+                    f"lengths must satisfy 1 <= lengths <= T({t}); got "
+                    f"range [{int(lnp.min())}, {int(lnp.max())}]")
+            if int(lnp.max()) + steps > max_len:
+                raise ValueError(
+                    f"max_len={max_len} < max(lengths)({int(lnp.max())}) "
+                    f"+ steps({steps}): ragged cache writes would be "
+                    "dropped")
     return _generate(cfg, params, prompt, h, steps=steps, max_len=max_len,
                      lengths=lengths, **kw)
 

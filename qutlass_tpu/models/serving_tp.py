@@ -74,6 +74,7 @@ def _wspec(name: str, quantized: bool, axis: str, keys=None):
         "nvi8": kspec,
         "nvsb": P(axis) if col else P(None),
         "gs": P(),
+        "am": P(),      # abs_max marker scalar, replicated
     }
     keys = keys if keys is not None else ("wqt", "wst")
     return {k: by_key[k] for k in keys}

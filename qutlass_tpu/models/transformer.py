@@ -121,7 +121,11 @@ def quantize_weight(w, *, h, method: str = "quest", fmt: str = "mx",
     if fmt == "nv":
         m = "abs_max" if method == "quest" else method
         wh = _rotate_rows(w, h)
-        gsw = 6.0 / jnp.maximum(
+        # vLLM convention: global_scale = 448*6/amax puts the largest
+        # group's e4m3 scale factor AT the e4m3 max (448) instead of at
+        # 1.0 — groups down to amax/2^-11 of the tensor max keep normal
+        # e4m3 scales (6/amax silently zeroed groups below ~2^-11)
+        gsw = (448.0 * 6.0) / jnp.maximum(
             jnp.max(jnp.abs(wh)).astype(jnp.float32), 1e-6)
         wqt, wst = q.fusedQuantizeNv(w, h, gsw, method=m, layout="kmajor")
         if weight_format in ("int8", "both"):
@@ -136,14 +140,19 @@ def quantize_weight(w, *, h, method: str = "quest", fmt: str = "mx",
             return d
         return {"wqt": wqt, "wst": wst, "gs": gsw}
     wqt, wst = q.fusedQuantizeMx(w, h, method=method, layout="kmajor")
+    # abs_max stores 3x-scaled codes; the marker leaf records the
+    # weight-side 1/3 dequant factor IN the stored dict so _linear
+    # cannot silently mis-scale when called with a different runtime
+    # method (the runtime method only governs activation quantization)
+    mark = {"am": jnp.int8(1)} if method == "abs_max" else {}
     if weight_format in ("int8", "both"):
         wi8, wsb, dmax = I8.prepare_weight_int8(wqt, wst)
         if int(dmax) <= 3:               # int8 evaluation exact
-            d = {"wi8": wi8, "wsb": wsb}
+            d = {"wi8": wi8, "wsb": wsb, **mark}
             if weight_format == "both":
                 d.update(wqt=wqt, wst=wst)
             return d
-    return {"wqt": wqt, "wst": wst}
+    return {"wqt": wqt, "wst": wst, **mark}
 
 
 def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
@@ -247,7 +256,8 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         # vLLM-style two-level NVFP4: per-tensor global scales on both
         # operands, folded out via alpha = 1/(gs_x * gs_w)
         xh_amax = jnp.max(jnp.abs(_rotate_rows(x2, h)))
-        gsx = 6.0 / jnp.maximum(xh_amax.astype(jnp.float32), 1e-6)
+        # 448*6/amax: vLLM global-scale convention (see quantize_weight)
+        gsx = (448.0 * 6.0) / jnp.maximum(xh_amax.astype(jnp.float32), 1e-6)
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
         if "nvi8" in w:
             # int8-MXU NV evaluator, fused quantize+encode kernel
@@ -262,6 +272,12 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
             y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
                                           out_dtype=od)
         return y.reshape(*x.shape[:-1], n)
+    # abs_max stores 3x-scaled codes: 1/3 per operand — the WEIGHT-side
+    # factor comes from the stored "am" marker (set at quantize time),
+    # the activation-side from the runtime method; a method mismatch
+    # therefore composes correctly instead of silently scaling by ~3x
+    a_mx = (1.0 if method == "quest" else 1 / 3) * \
+        (1 / 3 if "am" in w else 1.0)
     if "wi8" in w:
         # int8-MXU evaluator (ops/int8path.py): quantize to unpacked
         # codes, XLA encode, whole-K int8 dot + rank-1 fixup.  Beats
@@ -274,26 +290,29 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         cq, cs = q.fusedQuantizeMx(x2, h, method=method,
                                    layout="kmajor_codes")
         ai, sa, _ = _i8.encode_int8(cq, cs, kmajor=True)
-        alpha = jnp.float32(1.0) if method == "quest" else jnp.float32(1 / 9)
         y = _i8.matmul_mxf4_bf16_int8_kmajor(ai, w["wi8"], sa, w["wsb"],
-                                             alpha, out_dtype=od)
+                                             jnp.float32(a_mx),
+                                             out_dtype=od)
         return y.reshape(*x.shape[:-1], n)
-    # composed kmajor quantize + decode GEMM (the fp4-weight path);
-    # abs_max stores 3x-scaled codes on both operands -> alpha 1/9
-    alpha = jnp.full((1,), 1.0 if method == "quest" else 1 / 9, jnp.float32)
+    # composed kmajor quantize + decode GEMM (the fp4-weight path)
     xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
-    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
+    y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
+                                  jnp.full((1,), a_mx, jnp.float32),
                                   out_dtype=od)
     return y.reshape(*x.shape[:-1], n)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method"))
+@functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method",
+                                             "mlp"))
 def forward(cfg: ModelConfig, params, tokens: jax.Array, h: jax.Array = None,
-            *, quantized: bool = False, method: str = "quest"):
+            *, quantized: bool = False, method: str = "quest", mlp=None):
     """Prefill forward: tokens [B, T] int32 -> logits [B, T, vocab].
 
     ``quantized=True`` expects params from :func:`quantize_model_weights`
-    and runs every projection through the MXFP4 W4A4 path.
+    and runs every projection through the MXFP4 W4A4 path.  ``mlp``
+    (optional, static) replaces the dense gate/up/down branch — same
+    hook signature as serving._block: ``mlp(cfg, layer, xin, h, method,
+    quantized) -> [B, T, D]`` (the MoE family plugs in here).
     """
     b, t = tokens.shape
     x = params["embed"][tokens]
@@ -327,11 +346,14 @@ def forward(cfg: ModelConfig, params, tokens: jax.Array, h: jax.Array = None,
         x = x + _linear(attn, layer["o_proj"], h, method, quantized)
 
         xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
-        gate = _linear(xin, layer["gate_proj"], h, method, quantized)
-        up = _linear(xin, layer["up_proj"], h, method, quantized)
-        act = (jax.nn.silu(gate.astype(jnp.float32))
-               * up.astype(jnp.float32)).astype(x.dtype)
-        x = x + _linear(act, layer["down_proj"], h, method, quantized)
+        if mlp is not None:
+            x = x + mlp(cfg, layer, xin, h, method, quantized).astype(x.dtype)
+        else:
+            gate = _linear(xin, layer["gate_proj"], h, method, quantized)
+            up = _linear(xin, layer["up_proj"], h, method, quantized)
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+            x = x + _linear(act, layer["down_proj"], h, method, quantized)
 
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     head = params.get("lm_head", params["embed"])

@@ -116,7 +116,10 @@ def identity_matrix(n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def largest_divisor_multiple(n: int, unit: int, cap: int) -> int:
-    """Largest divisor of ``n`` that is a multiple of ``unit`` and <= cap."""
+    """Largest divisor of ``n`` that is a multiple of ``unit`` and <= cap,
+    FLOORED at ``unit``: when cap < unit the result is ``unit`` itself
+    (callers like tuning.quantize_int8_tiles' shrink loop rely on this
+    floor as their can't-shrink-further signal)."""
     assert n % unit == 0
     best = unit
     m = n // unit

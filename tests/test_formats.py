@@ -117,3 +117,47 @@ def test_golden_selfcheck_rtne_pack_roundtrip():
     x = rng.standard_normal((64, 64)) * 3
     vals, packed = G.rtne_fp4(x)
     np.testing.assert_array_equal(G.unpack_fp4(packed), vals)
+
+
+def test_scaled_decode_subnormal_edges():
+    """Scaled decoders at extreme scale bytes: exponent-field underflow
+    produces the exact bf16 subnormal (fp64-checked), e4m3 overflow
+    saturates to inf — reachable only via imported scale bytes."""
+    import ml_dtypes
+    from qutlass_tpu.formats import codecs as C
+
+    codes = jnp.asarray([[c for c in range(16)]], jnp.int32)
+    for sb in (0, 1, 2, 5):
+        got = np.asarray(C.e2m1_decode_scaled_bf16(
+            codes, jnp.full((1, 1), sb, jnp.int32))).astype(np.float64)
+        grid = np.asarray([0, .5, 1, 1.5, 2, 3, 4, 6], np.float64)
+        vals = np.concatenate([grid, -grid]) * 2.0 ** (sb - 127)
+        want = vals.astype(ml_dtypes.bfloat16).astype(np.float64)
+        np.testing.assert_array_equal(got[0], want, err_msg=f"sb={sb}")
+
+    # e4m3 scaled decode: subnormal-range scale and inf saturation
+    from qutlass_tpu.formats.golden import e4m3_to_f64
+    bytes_ = jnp.asarray([[b for b in range(1, 127)]], jnp.int32)
+    for sb in (0, 4, 250, 254):
+        got = np.asarray(C.e4m3_decode_scaled_bf16(
+            bytes_, jnp.full((1, 1), sb, jnp.int32))).astype(np.float64)
+        want64 = e4m3_to_f64(np.arange(1, 127)) * 2.0 ** (sb - 127)
+        want = want64.astype(ml_dtypes.bfloat16).astype(np.float64)
+        np.testing.assert_array_equal(got[0], want, err_msg=f"sb={sb}")
+
+
+def test_mxfp8_shared_exp_wraps_like_golden():
+    """Tiny-amax tiles wrap the shared-exponent byte mod 256 exactly
+    like the fp64 golden's uint8 store (regression: negative byte)."""
+    from qutlass_tpu.formats import codecs as C
+
+    amax = jnp.asarray([2.0 ** -126, 2.0 ** -120, 0.0, 1.0, 2.0 ** 100],
+                       jnp.float32)
+    got = np.asarray(C.mxfp8_shared_exp_bytes(amax))
+    want = np.where(
+        np.asarray(amax) > 0,
+        (np.floor(np.log2(np.asarray(amax, np.float64),
+                          where=np.asarray(amax) > 0,
+                          out=np.ones(5))) - 7 + 127).astype(np.int64),
+        127).astype(np.uint8)
+    np.testing.assert_array_equal(got.astype(np.uint8), want)

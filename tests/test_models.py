@@ -111,3 +111,36 @@ def test_nvfp4_int8_weight_format_forward():
     # agree well above the noise floor
     assert c8 > c4 - 0.03, (c8, c4)
     assert _cos(o4, o8) > 0.9, _cos(o4, o8)
+
+
+def test_abs_max_weight_method_mismatch_scales_correctly():
+    """Weights quantized with abs_max store their 1/3 dequant factor in
+    the dict ("am" marker); calling _linear with a different runtime
+    method (which only governs activation quantization) must not
+    mis-scale the output (regression: 2.85x silent blowup)."""
+    import numpy as np
+    from qutlass_tpu.models.transformer import _linear, quantize_weight
+    from helpers import bf16_hadamard, randn_bf16
+
+    rng = np.random.default_rng(21)
+    x = randn_bf16(rng, 16, 256)
+    w = randn_bf16(rng, 128, 256, scale=0.05)
+    h = bf16_hadamard(32)
+    exact = np.asarray(x @ w.T, np.float32)
+    ref_norm = np.linalg.norm(exact)
+
+    for wf in ("int8", "fp4"):
+        wd = quantize_weight(w, h=h, method="abs_max", fmt="mx",
+                             weight_format=wf)
+        assert "am" in wd, (wf, set(wd))
+        for act_method in ("quest", "abs_max"):
+            y = np.asarray(_linear(x, wd, h, act_method, True), np.float32)
+            ratio = np.linalg.norm(y) / ref_norm
+            assert 0.8 < ratio < 1.25, (wf, act_method, ratio)
+        # quest-stored weights keep no marker and still scale right
+        wq = quantize_weight(w, h=h, method="quest", fmt="mx",
+                             weight_format=wf)
+        assert "am" not in wq
+        y = np.asarray(_linear(x, wq, h, "abs_max", True), np.float32)
+        ratio = np.linalg.norm(y) / ref_norm
+        assert 0.8 < ratio < 1.25, (wf, "quest-w/absmax-act", ratio)
