@@ -255,9 +255,21 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
     if "gs" in w:   # NVFP4 weight (two-level scheme)
         # vLLM-style two-level NVFP4: per-tensor global scales on both
         # operands, folded out via alpha = 1/(gs_x * gs_w)
-        xh_amax = jnp.max(jnp.abs(_rotate_rows(x2, h)))
+        # The runtime global scale uses the L2 BOUND on the rotated
+        # amax instead of rotating twice: H is orthonormal per
+        # rot-chunk, so max|(x @ H)| <= max_chunk ||x_chunk||_2 — one
+        # fused square-sum reduction over x replaces a second full
+        # rotation matmul.  gsx only positions the e4m3 group-scale
+        # window (alpha folds 1/gsx back out exactly); the bound
+        # understates gsx by at most sqrt(rot_size) — two binades of
+        # the ~11-binade downward headroom (see quantize_weight).
+        # 1.004 slack covers bf16 rounding of H's entries (<= 2^-9
+        # per column norm) + f32 accumulation so the largest group's
+        # scale factor stays at or below the e4m3 max.
+        xf = x2.astype(jnp.float32).reshape(-1, h.shape[-1])
+        amax_bound = jnp.sqrt(jnp.max(jnp.sum(xf * xf, axis=-1))) * 1.004
         # 448*6/amax: vLLM global-scale convention (see quantize_weight)
-        gsx = (448.0 * 6.0) / jnp.maximum(xh_amax.astype(jnp.float32), 1e-6)
+        gsx = (448.0 * 6.0) / jnp.maximum(amax_bound, 1e-6)
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
         if "nvi8" in w:
             # int8-MXU NV evaluator, fused quantize+encode kernel

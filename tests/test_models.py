@@ -144,3 +144,25 @@ def test_abs_max_weight_method_mismatch_scales_correctly():
         y = np.asarray(_linear(x, wq, h, "abs_max", True), np.float32)
         ratio = np.linalg.norm(y) / ref_norm
         assert 0.8 < ratio < 1.25, (wf, "quest-w/absmax-act", ratio)
+
+
+def test_nv_gsx_l2_bound_dominates_rotated_amax():
+    """_linear's NV global scale uses max_chunk ||x_chunk||_2 * 1.004 as
+    an upper bound on the rotated amax (skipping the second rotation);
+    the bound must dominate for every draw or the largest group's e4m3
+    scale factor would overflow past 448."""
+    from qutlass_tpu.models.transformer import _rotate_rows
+    from helpers import bf16_hadamard, randn_bf16
+
+    rng = np.random.default_rng(33)
+    for rot in (16, 32, 64, 128):
+        h = bf16_hadamard(rot)
+        for scale in (0.01, 1.0, 25.0):
+            x = randn_bf16(rng, 64, 512, scale=scale)
+            xf = np.asarray(x, np.float32).reshape(-1, rot)
+            bound = np.sqrt(np.max(np.sum(xf * xf, axis=-1))) * 1.004
+            amax = float(np.max(np.abs(np.asarray(
+                _rotate_rows(x, h), np.float32))))
+            assert amax <= bound, (rot, scale, amax, bound)
+            # and the bound is within sqrt(rot) of tight
+            assert bound <= amax * (rot ** 0.5) * 1.01, (rot, scale)
