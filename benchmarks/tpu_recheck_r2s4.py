@@ -80,3 +80,38 @@ for kk in ("wqt", "wst", "wi8", "wsb"):
     assert np.array_equal(np.asarray(imp[kk]), np.asarray(mx[kk])), kk
 print("OK interop roundtrip on-device")
 print("ALL OK")
+
+
+# ---------------------------------------------------------------------------
+# Session-5 additions: NV gsx L2-bound + abs_max marker path on-device
+# ---------------------------------------------------------------------------
+
+from qutlass_tpu.models.transformer import _linear, _rotate_rows, quantize_weight
+
+x = jnp.asarray((rng.standard_normal((64, 512)) * 3).astype(ml_dtypes.bfloat16))
+w = jnp.asarray((rng.standard_normal((256, 512)) * 0.05)
+                .astype(ml_dtypes.bfloat16))
+exact = np.asarray(x, np.float64) @ np.asarray(w, np.float64).T
+refn = np.linalg.norm(exact)
+
+# L2 bound dominates the rotated amax on-device (TPU f32 rounding
+# differs from the CPU run that validated this)
+for rot in (16, 32, 128):
+    hh = hadamard(rot)
+    xf = np.asarray(x, np.float32).reshape(-1, rot)
+    bound = float(np.sqrt(np.max(np.sum(xf * xf, axis=-1))) * 1.004)
+    amax = float(jnp.max(jnp.abs(_rotate_rows(x, hh))))
+    assert amax <= bound, (rot, amax, bound)
+print("OK gsx L2 bound dominates on-device")
+
+# NV + abs_max-marker linears end-to-end on-device (norm-level)
+for fmt, wf, method in (("nv", "int8", "abs_max"), ("nv", "fp4", "abs_max"),
+                        ("mx", "int8", "abs_max"), ("mx", "fp4", "abs_max"),
+                        ("mx", "int8", "quest")):
+    wd = quantize_weight(w, h=h, method=method, fmt=fmt, weight_format=wf)
+    y = np.asarray(_linear(x, wd, h, method, True), np.float32)
+    ratio = float(np.linalg.norm(y) / refn)
+    assert 0.8 < ratio < 1.25, (fmt, wf, method, ratio)
+    print(f"OK _linear fmt={fmt} wf={wf} method={method} norm-ratio {ratio:.3f}")
+
+print("ALL SESSION-5 CHECKS OK")
