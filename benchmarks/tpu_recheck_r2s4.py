@@ -114,4 +114,33 @@ for fmt, wf, method in (("nv", "int8", "abs_max"), ("nv", "fp4", "abs_max"),
     assert 0.8 < ratio < 1.25, (fmt, wf, method, ratio)
     print(f"OK _linear fmt={fmt} wf={wf} method={method} norm-ratio {ratio:.3f}")
 
+# gsx exact-vs-bound perf (the bound skips the second rotation; it is
+# OPT-IN via QUTLASS_TPU_NV_GSX=bound pending this measurement — a
+# clear win here justifies revisiting the default for throughput runs)
+import os
+
+from qutlass_tpu import profiling
+from qutlass_tpu.models.transformer import quantize_weight as _qw
+
+k_, n_ = 5120, 5120
+wnv = _qw(jnp.asarray((rng.standard_normal((n_, k_)) * 0.02)
+                      .astype(ml_dtypes.bfloat16)), h=h, method="quest",
+          fmt="nv", weight_format="int8")
+for m_ in (16, 256, 2048):
+    xs = jnp.asarray((rng.standard_normal((m_, k_)) * 2)
+                     .astype(ml_dtypes.bfloat16))
+    times = {}
+    for mode in ("exact", "bound"):
+        os.environ["QUTLASS_TPU_NV_GSX"] = mode
+
+        def op(dep, i, params, _m=mode):
+            xx = profiling.chain_dep(params["x"], dep)
+            return _linear(xx, params["w"], h, "abs_max", True)
+
+        times[mode] = profiling.benchmark(op, params={"x": xs, "w": wnv})
+    os.environ.pop("QUTLASS_TPU_NV_GSX", None)
+    print(f"gsx M={m_:5d}: exact {times['exact']*1e6:8.1f}us  "
+          f"bound {times['bound']*1e6:8.1f}us  "
+          f"ratio {times['exact']/times['bound']:.3f}x")
+
 print("ALL SESSION-5 CHECKS OK")

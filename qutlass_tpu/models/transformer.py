@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -255,21 +256,26 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
     if "gs" in w:   # NVFP4 weight (two-level scheme)
         # vLLM-style two-level NVFP4: per-tensor global scales on both
         # operands, folded out via alpha = 1/(gs_x * gs_w)
-        # The runtime global scale uses the L2 BOUND on the rotated
-        # amax instead of rotating twice: H is orthonormal per
-        # rot-chunk, so max|(x @ H)| <= max_chunk ||x_chunk||_2 — one
-        # fused square-sum reduction over x replaces a second full
-        # rotation matmul.  gsx only positions the e4m3 group-scale
-        # window (alpha folds 1/gsx back out exactly); the bound
-        # understates gsx by at most sqrt(rot_size) — two binades of
-        # the ~11-binade downward headroom (see quantize_weight).
-        # 1.004 slack covers bf16 rounding of H's entries (<= 2^-9
-        # per column norm) + f32 accumulation so the largest group's
-        # scale factor stays at or below the e4m3 max.
-        xf = x2.astype(jnp.float32).reshape(-1, h.shape[-1])
-        amax_bound = jnp.sqrt(jnp.max(jnp.sum(xf * xf, axis=-1))) * 1.004
+        # QUTLASS_TPU_NV_GSX=bound replaces the exact rotated amax (a
+        # second full rotation matmul) with its L2 chunk-norm BOUND —
+        # H is orthonormal per rot-chunk, so max|(x @ H)| <=
+        # max_chunk ||x_chunk||_2, one fused square-sum reduction over
+        # x.  alpha folds 1/gsx back out exactly, so only the e4m3
+        # group-scale window moves — down by at most sqrt(rot_size)
+        # (~2.5 binades of the ~11-binade headroom), which raises the
+        # underflow floor for the tiniest groups; measured as a small
+        # TP-vs-single-device cosine drop on the tiny MoE config, so
+        # the EXACT amax stays the default until the bound's perf win
+        # is confirmed on-device (benchmarks/tpu_recheck_r2s4.py).
+        # 1.004 slack covers bf16 rounding of H's entries (<= 2^-9 per
+        # column norm) + f32 accumulation.
+        if os.environ.get("QUTLASS_TPU_NV_GSX", "exact") == "bound":
+            xf = x2.astype(jnp.float32).reshape(-1, h.shape[-1])
+            xh_amax = jnp.sqrt(jnp.max(jnp.sum(xf * xf, axis=-1))) * 1.004
+        else:
+            xh_amax = jnp.max(jnp.abs(_rotate_rows(x2, h)))
         # 448*6/amax: vLLM global-scale convention (see quantize_weight)
-        gsx = (448.0 * 6.0) / jnp.maximum(amax_bound, 1e-6)
+        gsx = (448.0 * 6.0) / jnp.maximum(xh_amax.astype(jnp.float32), 1e-6)
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
         if "nvi8" in w:
             # int8-MXU NV evaluator, fused quantize+encode kernel

@@ -147,10 +147,11 @@ def test_abs_max_weight_method_mismatch_scales_correctly():
 
 
 def test_nv_gsx_l2_bound_dominates_rotated_amax():
-    """_linear's NV global scale uses max_chunk ||x_chunk||_2 * 1.004 as
-    an upper bound on the rotated amax (skipping the second rotation);
-    the bound must dominate for every draw or the largest group's e4m3
-    scale factor would overflow past 448."""
+    """The opt-in QUTLASS_TPU_NV_GSX=bound mode uses max_chunk
+    ||x_chunk||_2 * 1.004 as an upper bound on the rotated amax
+    (skipping the second rotation); the bound must dominate for every
+    draw or the largest group's e4m3 scale factor would overflow past
+    448."""
     from qutlass_tpu.models.transformer import _rotate_rows
     from helpers import bf16_hadamard, randn_bf16
 
@@ -166,3 +167,26 @@ def test_nv_gsx_l2_bound_dominates_rotated_amax():
             assert amax <= bound, (rot, scale, amax, bound)
             # and the bound is within sqrt(rot) of tight
             assert bound <= amax * (rot ** 0.5) * 1.01, (rot, scale)
+
+
+def test_nv_gsx_bound_mode_env_knob(monkeypatch):
+    """QUTLASS_TPU_NV_GSX=bound routes the NV activation global scale
+    through the L2 chunk-norm bound (no second rotation); outputs stay
+    at quality (norm-level) and differ from the exact-amax default."""
+    from qutlass_tpu.models.transformer import _linear, quantize_weight
+    from helpers import bf16_hadamard, randn_bf16
+
+    rng = np.random.default_rng(44)
+    x = randn_bf16(rng, 16, 256)
+    w = randn_bf16(rng, 128, 256, scale=0.05)
+    h = bf16_hadamard(32)
+    wd = quantize_weight(w, h=h, method="quest", fmt="nv",
+                         weight_format="fp4")
+    exact = np.asarray(_linear(x, wd, h, "abs_max", True), np.float32)
+    monkeypatch.setenv("QUTLASS_TPU_NV_GSX", "bound")
+    bound = np.asarray(_linear(x, wd, h, "abs_max", True), np.float32)
+    ref = np.asarray(x @ w.T, np.float32)
+    for y in (exact, bound):
+        ratio = np.linalg.norm(y) / np.linalg.norm(ref)
+        assert 0.8 < ratio < 1.25, ratio
+    assert not np.array_equal(exact, bound)
