@@ -57,6 +57,26 @@ class _Slot:
     done: bool = False
 
 
+class LocalEngine:
+    """Single-device prefill/decode backend for the batcher (default)."""
+
+    def __init__(self, cfg: ModelConfig, params, h=None, *,
+                 quantized: bool = False, method: str = "quest", mlp=None):
+        self.cfg, self.params, self.h = cfg, params, h
+        self.kw = dict(quantized=quantized, method=method, mlp=mlp)
+
+    def init_cache(self, n: int, max_len: int):
+        return init_cache(self.cfg, n, max_len)
+
+    def prefill(self, tokens, length, max_len: int):
+        return _prefill_one(self.cfg, self.params, tokens, length, self.h,
+                            max_len=max_len, **self.kw)
+
+    def decode(self, cache, token, pos):
+        return decode_step(self.cfg, self.params, cache, token, pos, self.h,
+                           **self.kw)
+
+
 class ContinuousBatcher:
     """Fixed-slot continuous batching scheduler (host-side control).
 
@@ -64,16 +84,24 @@ class ContinuousBatcher:
     ...                        quantized=True)
     >>> outs = cb.run([(ids1, 32), (ids2, 16), ...], eos_id=2)
     outs[i] == the generated tokens for prompt i (trimmed at EOS).
+
+    ``engine`` swaps the device backend while the slot scheduler stays
+    identical: the default :class:`LocalEngine` runs single-device;
+    :class:`serving_tp.TPEngine` runs every dispatch tensor-parallel
+    over a mesh (sharded slot cache included).  An engine provides
+    ``init_cache(n, max_len)``, ``prefill(tokens [1,T], length [1],
+    max_len) -> (logits [1,V], cache)`` and ``decode(cache, token [B],
+    pos [B]) -> (logits [B,V], cache)``.
     """
 
-    def __init__(self, cfg: ModelConfig, params, h=None, *, n_slots: int,
-                 max_len: int, quantized: bool = False,
-                 method: str = "quest", mlp=None):
-        self.cfg, self.params, self.h = cfg, params, h
+    def __init__(self, cfg: ModelConfig = None, params=None, h=None, *,
+                 n_slots: int, max_len: int, quantized: bool = False,
+                 method: str = "quest", mlp=None, engine=None):
+        self.engine = engine if engine is not None else LocalEngine(
+            cfg, params, h, quantized=quantized, method=method, mlp=mlp)
         self.n = n_slots
         self.max_len = max_len
-        self.kw = dict(quantized=quantized, method=method, mlp=mlp)
-        self.cache = init_cache(cfg, n_slots, max_len)
+        self.cache = self.engine.init_cache(n_slots, max_len)
         self.token = jnp.zeros((n_slots,), jnp.int32)
         self.pos = jnp.zeros((n_slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(n_slots)]
@@ -86,10 +114,8 @@ class ContinuousBatcher:
         tb = min(_bucket(t), self.max_len)
         padded = np.zeros((1, tb), np.int32)
         padded[0, :t] = ids
-        logits, cache1 = _prefill_one(
-            self.cfg, self.params, jnp.asarray(padded),
-            jnp.asarray([t], jnp.int32), self.h, max_len=self.max_len,
-            **self.kw)
+        logits, cache1 = self.engine.prefill(
+            jnp.asarray(padded), jnp.asarray([t], jnp.int32), self.max_len)
         first = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
         # splice the tenant's cache rows into the batch cache
         for l, (cl, c1) in enumerate(zip(self.cache, cache1)):
@@ -101,9 +127,8 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------ step
     def _step(self):
-        logits, self.cache = decode_step(self.cfg, self.params, self.cache,
-                                         self.token, self.pos, self.h,
-                                         **self.kw)
+        logits, self.cache = self.engine.decode(self.cache, self.token,
+                                                self.pos)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         out = np.asarray(self.token)
         self.token = nxt

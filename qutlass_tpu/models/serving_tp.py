@@ -146,32 +146,38 @@ def _run_blocks(scfg, params, x, caches, start_pos, h, method, quantized,
 def tp_prefill(cfg: ModelConfig, params, tokens, h, mesh: Mesh, *,
                max_len: int, quantized: bool = True,
                method: str = "quest", axis: str = "tp",
-               specs_fn=None, mlp_factory=None):
+               specs_fn=None, mlp_factory=None, lengths=None):
     """Sharded prefill: tokens [B, T] -> (logits [B, vocab], sharded cache).
 
     ``specs_fn(cfg, quantized, axis)`` / ``mlp_factory(cfg, axis)`` let
     model families reuse these entry points with their own param tree
-    and MLP branch (models/moe_tp.py).
+    and MLP branch (models/moe_tp.py).  ``lengths`` [B] enables ragged
+    batches exactly as in :func:`serving.prefill` (right-padded rows,
+    logits read at lengths-1).
     """
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
     b = tokens.shape[0]
     specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
+    in_specs = (specs, P(None, None))
+    if lengths is not None:
+        in_specs += (P(None),)
 
     @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(specs, P(None, None)),
+        shard_map, mesh=mesh, in_specs=in_specs,
         out_specs=(P(None, None), _cache_spec(cfg, axis)),
         check_rep=False)
-    def run(p, toks):
+    def run(p, toks, *ln):
         cache = init_cache(scfg, b, max_len)
         x = p["embed"][toks]
         x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
                                axis, mlp=mlp)
-        return _logits(scfg, p, x[:, -1]), cache
+        last = x[:, -1] if not ln else x[jnp.arange(b), ln[0] - 1]
+        return _logits(scfg, p, last), cache
 
-    return run(params, tokens)
+    args = (params, tokens) if lengths is None else (params, tokens, lengths)
+    return run(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
@@ -181,15 +187,18 @@ def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
                    mesh: Mesh, *, quantized: bool = True,
                    method: str = "quest", axis: str = "tp",
                    specs_fn=None, mlp_factory=None):
-    """One sharded decode step: token [B] at traced position ``pos``."""
+    """One sharded decode step: token [B] at traced position ``pos``
+    (a scalar, or [B] for ragged batches — per-row decode positions,
+    same semantics as :func:`serving.decode_step`)."""
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
     specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
+    pspec = P() if jnp.ndim(pos) == 0 else P(None)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(specs, _cache_spec(cfg, axis), P(None), P()),
+        in_specs=(specs, _cache_spec(cfg, axis), P(None), pspec),
         out_specs=(P(None, None), _cache_spec(cfg, axis)),
         check_rep=False)
     def run(p, cache, tok, ps):
@@ -260,3 +269,38 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
         return jnp.swapaxes(toks, 0, 1)
 
     return run(params, prompt, key)
+
+
+class TPEngine:
+    """Continuous-batching engine over the TP mesh.
+
+    Plugs the sharded prefill/decode entry points into
+    :class:`models.continuous.ContinuousBatcher` (pass as ``engine=``):
+    the slot scheduler stays host-side and identical; every device
+    dispatch runs tensor-parallel, and the slot KV cache lives sharded
+    over heads (cache memory scales 1/tp, like ``tp_generate``).
+    ``params`` must already be placed with :func:`shard_params`.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, h, mesh: Mesh, *,
+                 axis: str = "tp", quantized: bool = True,
+                 method: str = "quest", specs_fn=None, mlp_factory=None):
+        self.cfg, self.params, self.h = cfg, params, h
+        self.mesh, self.axis = mesh, axis
+        self.kw = dict(quantized=quantized, method=method, axis=axis,
+                       specs_fn=specs_fn, mlp_factory=mlp_factory)
+
+    def init_cache(self, n: int, max_len: int):
+        cache = init_cache(self.cfg, n, max_len)
+        spec = _cache_spec(self.cfg, self.axis)
+        return jax.tree.map(
+            lambda s, x: jax.device_put(x, NamedSharding(self.mesh, s)),
+            spec, cache, is_leaf=lambda s: isinstance(s, P))
+
+    def prefill(self, tokens, length, max_len: int):
+        return tp_prefill(self.cfg, self.params, tokens, self.h, self.mesh,
+                          max_len=max_len, lengths=length, **self.kw)
+
+    def decode(self, cache, token, pos):
+        return tp_decode_step(self.cfg, self.params, cache, token, pos,
+                              self.h, self.mesh, **self.kw)

@@ -120,3 +120,31 @@ def test_bucket_clamped_to_max_len(setup):
     ref = np.asarray(_gen(cfg, params, prompt, h, steps=8, max_len=50,
                           quantized=False, pad_id=-1))[0]
     np.testing.assert_array_equal(outs[0], ref)
+
+
+def test_stream_tp_engine_matches_solo(setup):
+    """TP continuous batching (TPEngine over the CPU mesh): streamed
+    prompts through the sharded fixed-slot pool equal solo SINGLE-DEVICE
+    generation exactly (greedy; the TP fp32-partial psum contract of
+    test_serving_tp holds for every dispatch the batcher makes)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    from qutlass_tpu.models import serving_tp as TP
+    from qutlass_tpu.parallel.sharding import make_mesh
+
+    cfg, params, qparams, h = setup
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    engine = TP.TPEngine(cfg, sp, h, mesh, quantized=True)
+    rng = np.random.default_rng(5)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 9)), 5)
+               for _ in range(5)]
+    cb = ContinuousBatcher(n_slots=2, max_len=64, engine=engine)
+    # the slot cache is actually sharded over heads
+    shd = cb.cache[0]["k"].sharding
+    assert "tp" in getattr(shd, "spec", ())[2], shd
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, qparams, h, ids, steps, True)
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")
