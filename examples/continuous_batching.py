@@ -48,6 +48,19 @@ def main():
     for i, toks in enumerate(outs):
         print(f"prompt {i} ({len(prompts[i][0])} tokens) -> {toks.tolist()}")
 
+    # --- tensor-parallel: the same scheduler over a sharded engine ----
+    if jax.device_count() >= 2:
+        from qutlass_tpu.models import serving_tp as TP
+        from qutlass_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh({"tp": 2})
+        sp = TP.shard_params(cfg, qparams, mesh)
+        eng = TP.TPEngine(cfg, sp, h, mesh, quantized=True)
+        cb_tp = ContinuousBatcher(n_slots=3, max_len=64, engine=eng)
+        outs_tp = cb_tp.run(prompts)
+        same = all(np.array_equal(a, b) for a, b in zip(outs, outs_tp))
+        print(f"tp=2 engine reproduces single-device outputs: {same}")
+
 
 if __name__ == "__main__":
     main()

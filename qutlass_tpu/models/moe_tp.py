@@ -192,3 +192,13 @@ def tp_generate(cfg: MoeConfig, params, prompt, h, mesh: Mesh, **kw):
     return _stp.tp_generate(cfg, params, prompt, h, mesh,
                             specs_fn=param_specs, mlp_factory=_moe_mlp_tp,
                             **kw)
+
+
+def engine(cfg: MoeConfig, params, h, mesh: Mesh, **kw):
+    """Continuous-batching engine with the MoE hooks: every batcher
+    dispatch runs expert-parallel over the mesh (serving_tp.TPEngine
+    with specs/mlp from this module; pass as ``engine=`` to
+    models.continuous.ContinuousBatcher)."""
+    _check(cfg, mesh, kw.get("axis", "tp"))
+    return _stp.TPEngine(cfg, params, h, mesh, specs_fn=param_specs,
+                         mlp_factory=_moe_mlp_tp, **kw)

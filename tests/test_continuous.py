@@ -148,3 +148,34 @@ def test_stream_tp_engine_matches_solo(setup):
         ref = _solo(cfg, qparams, h, ids, steps, True)
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"prompt {i} diverged")
+
+
+def test_stream_moe_ep_engine_matches_solo():
+    """MoE continuous batching over the expert-parallel mesh
+    (moe_tp.engine): streamed prompts equal solo single-device
+    moe.generate exactly (greedy; fp32 expert partials cross the psum
+    unrounded, same contract as the dense TP engine)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    from qutlass_tpu.models import moe, moe_tp
+    from qutlass_tpu.parallel.sharding import make_mesh
+
+    cfg = moe.tiny_moe_config()
+    params = moe.init_params(cfg, jax.random.PRNGKey(6))
+    h = bf16_hadamard(32)
+    qparams = moe.quantize_model_weights(cfg, params, h)
+    mesh = make_mesh({"tp": 2})
+    sp = moe_tp.shard_params(cfg, qparams, mesh)
+    eng = moe_tp.engine(cfg, sp, h, mesh, quantized=True)
+    rng = np.random.default_rng(7)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 9)), 4)
+               for _ in range(4)]
+    cb = ContinuousBatcher(n_slots=2, max_len=64, engine=eng)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        prompt = jnp.asarray(np.asarray(ids, np.int32)[None])
+        ref = np.asarray(moe.generate(cfg, qparams, prompt, h, steps=steps,
+                                      max_len=64, quantized=True,
+                                      pad_id=-1))[0]
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"moe prompt {i} diverged")
