@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .serving import decode_step, init_cache, prefill, sample_logits
+from .serving import (decode_step, init_cache, prefill, prefill_chunked,
+                      sample_logits)
 from .transformer import ModelConfig
 
 
@@ -58,17 +59,31 @@ class _Slot:
 
 
 class LocalEngine:
-    """Single-device prefill/decode backend for the batcher (default)."""
+    """Single-device prefill/decode backend for the batcher (default).
+
+    ``chunk`` switches admission to :func:`serving.prefill_chunked`:
+    ONE compiled ``chunk``-wide program serves every prompt length
+    (the default bucket ladder compiles one program per bucket), at
+    identical outputs — the right trade when prompt lengths vary widely
+    or compiles are expensive (the remote-TPU tunnel).
+    """
 
     def __init__(self, cfg: ModelConfig, params, h=None, *,
-                 quantized: bool = False, method: str = "quest", mlp=None):
+                 quantized: bool = False, method: str = "quest", mlp=None,
+                 chunk: int | None = None):
         self.cfg, self.params, self.h = cfg, params, h
+        self.chunk = chunk
         self.kw = dict(quantized=quantized, method=method, mlp=mlp)
 
     def init_cache(self, n: int, max_len: int):
         return init_cache(self.cfg, n, max_len)
 
     def prefill(self, tokens, length, max_len: int):
+        if self.chunk:
+            t = int(np.asarray(length)[0])
+            return prefill_chunked(self.cfg, self.params, tokens[:, :t],
+                                   self.h, max_len=max_len,
+                                   chunk=self.chunk, **self.kw)
         return _prefill_one(self.cfg, self.params, tokens, length, self.h,
                             max_len=max_len, **self.kw)
 
@@ -96,9 +111,11 @@ class ContinuousBatcher:
 
     def __init__(self, cfg: ModelConfig = None, params=None, h=None, *,
                  n_slots: int, max_len: int, quantized: bool = False,
-                 method: str = "quest", mlp=None, engine=None):
+                 method: str = "quest", mlp=None, engine=None,
+                 chunk: int | None = None):
         self.engine = engine if engine is not None else LocalEngine(
-            cfg, params, h, quantized=quantized, method=method, mlp=mlp)
+            cfg, params, h, quantized=quantized, method=method, mlp=mlp,
+            chunk=chunk)
         self.n = n_slots
         self.max_len = max_len
         self.cache = self.engine.init_cache(n_slots, max_len)

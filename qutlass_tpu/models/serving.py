@@ -159,6 +159,83 @@ def prefill(cfg: ModelConfig, params, tokens, h=None, *, max_len: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "quantized", "method", "mlp"))
+def prefill_step(cfg: ModelConfig, params, cache, tokens, start_pos, h=None,
+                 *, quantized: bool = False, method: str = "quest", mlp=None):
+    """Prefill one chunk [B, C] into an EXISTING cache at traced
+    ``start_pos`` (a multiple of nothing in particular — any offset).
+
+    Returns (hidden states x [B, C, D] after all blocks, updated cache).
+    The building block of :func:`prefill_chunked`; because ``start_pos``
+    is traced, every chunk of a prompt reuses one compiled program.
+    """
+    x = params["embed"][tokens]
+    new_cache = []
+    for layer, cache_l in zip(params["layers"], cache):
+        x, cl = _block(cfg, layer, x, cache_l, start_pos, h, method,
+                       quantized, mlp=mlp)
+        new_cache.append(cl)
+    return x, new_cache
+
+
+def prefill_chunked(cfg: ModelConfig, params, tokens, h=None, *,
+                    max_len: int, chunk: int, quantized: bool = False,
+                    method: str = "quest", mlp=None, lengths=None):
+    """Chunked prefill: identical results to :func:`prefill`, one
+    ``chunk``-wide compiled program instead of a per-length compile.
+
+    The prompt is right-padded to a multiple of ``chunk`` and fed
+    through :func:`prefill_step` chunk by chunk (causal attention reads
+    earlier chunks from the cache, so the hidden states equal the
+    one-shot prefill's bit-for-bit — the padded tail positions compute
+    garbage that decode overwrites before any query can attend to it,
+    the same argument as ragged prefill).  Serving stacks chunk prefill
+    for exactly this reason: one compiled program covers every prompt
+    length, and very long prompts never materialize a [T, T] score
+    block.  Returns (logits [B, vocab] at each row's last position,
+    cache), like :func:`prefill`.
+
+    Constraints (validated host-side): ``lengths`` must be concrete,
+    and the padded length ``ceil(T/chunk)*chunk`` must fit ``max_len``
+    (the cache write of the final chunk would otherwise be clamped
+    backwards onto valid positions).
+    """
+    b, t = tokens.shape
+    lnp = (np.full((b,), t, np.int64) if lengths is None
+           else np.asarray(lengths))
+    if lnp.min() < 1 or lnp.max() > t:
+        raise ValueError(
+            f"lengths must satisfy 1 <= lengths <= T({t}); got range "
+            f"[{int(lnp.min())}, {int(lnp.max())}]")
+    nch = -(-t // chunk)
+    if nch * chunk > max_len:
+        raise ValueError(
+            f"chunked prefill needs ceil(T/chunk)*chunk <= max_len: "
+            f"{nch}*{chunk} > {max_len}")
+    padded = jnp.pad(tokens, ((0, 0), (0, nch * chunk - t)))
+    cache = init_cache(cfg, b, max_len)
+    last = None
+    for i in range(nch):
+        x, cache = prefill_step(cfg, params, cache,
+                                padded[:, i * chunk:(i + 1) * chunk],
+                                jnp.int32(i * chunk), h,
+                                quantized=quantized, method=method, mlp=mlp)
+        # keep each row's hidden state at its own last prompt position
+        idx = lnp - 1 - i * chunk
+        rows = (idx >= 0) & (idx < chunk)
+        if rows.any():
+            sel = x[jnp.arange(b), jnp.clip(jnp.asarray(idx), 0, chunk - 1)]
+            last = sel if last is None else jnp.where(
+                jnp.asarray(rows)[:, None], sel, last)
+    return _logits_jit(cfg, params, last), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _logits_jit(cfg: ModelConfig, params, x):
+    return _logits(cfg, params, x)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "quantized", "method", "mlp"))
 def decode_step(cfg: ModelConfig, params, cache, token, pos, h=None, *,
                 quantized: bool = False, method: str = "quest", mlp=None):
     """One decode step: token [B] int32 at position ``pos`` (traced).

@@ -179,3 +179,22 @@ def test_stream_moe_ep_engine_matches_solo():
                                       pad_id=-1))[0]
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"moe prompt {i} diverged")
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_stream_chunked_admission_matches_solo(setup, quantized):
+    """chunk=8 admission (one compiled prefill program for all prompt
+    lengths) reproduces solo generation bitwise, like the bucket
+    ladder."""
+    cfg, params, qparams, h = setup
+    p = qparams if quantized else params
+    rng = np.random.default_rng(8)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 20)), 5)
+               for _ in range(5)]
+    cb = ContinuousBatcher(cfg, p, h, n_slots=2, max_len=64,
+                           quantized=quantized, chunk=8)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, p, h, ids, steps, quantized)
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")

@@ -194,3 +194,59 @@ def test_ragged_prefill_logits_match(on_tpu):
                                    rtol=5e-2, atol=5e-2)
     else:
         np.testing.assert_array_equal(np.asarray(lg_r), np.asarray(lg_d))
+
+
+def test_prefill_chunked_matches_full():
+    """Chunked prefill == one-shot prefill bitwise: logits and the
+    cache's valid positions (the padded tail past T holds garbage the
+    decode path overwrites before it becomes visible — same contract
+    as ragged prefill)."""
+    import pytest
+    from qutlass_tpu.models.serving import prefill_chunked
+
+    for quantized in (False, True):
+        cfg, p, h = _setup(quantized)
+        toks = jax.random.randint(jax.random.PRNGKey(9), (2, 11), 0,
+                                  cfg.vocab_size)
+        ref_logits, ref_cache = prefill(cfg, p, toks, h, max_len=24,
+                                        quantized=quantized)
+        for chunk in (4, 8, 11, 16):
+            logits, cache = prefill_chunked(cfg, p, toks, h, max_len=24,
+                                            chunk=chunk, quantized=quantized)
+            np.testing.assert_array_equal(np.asarray(logits),
+                                          np.asarray(ref_logits),
+                                          err_msg=f"chunk={chunk}")
+            for l in range(cfg.num_layers):
+                for kv in ("k", "v"):
+                    np.testing.assert_array_equal(
+                        np.asarray(cache[l][kv][:, :11]),
+                        np.asarray(ref_cache[l][kv][:, :11]),
+                        err_msg=f"q={quantized} chunk={chunk} l{l} {kv}")
+
+
+def test_prefill_chunked_ragged():
+    """Ragged chunked prefill reads each row's logits at lengths-1."""
+    from qutlass_tpu.models.serving import prefill_chunked
+
+    cfg, params, h = _setup(False)
+    toks = jax.random.randint(jax.random.PRNGKey(10), (3, 10), 0,
+                              cfg.vocab_size)
+    lengths = jnp.asarray([3, 10, 6], jnp.int32)
+    ref_logits, _ = prefill(cfg, params, toks, h, max_len=16,
+                            lengths=lengths)
+    logits, _ = prefill_chunked(cfg, params, toks, h, max_len=16, chunk=4,
+                                lengths=lengths)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+
+
+def test_prefill_chunked_validates():
+    import pytest
+    from qutlass_tpu.models.serving import prefill_chunked
+
+    cfg, params, h = _setup(False)
+    toks = jnp.zeros((1, 10), jnp.int32)
+    with pytest.raises(ValueError, match="max_len"):
+        prefill_chunked(cfg, params, toks, h, max_len=10, chunk=4)
+    with pytest.raises(ValueError, match="lengths"):
+        prefill_chunked(cfg, params, toks, h, max_len=16, chunk=4,
+                        lengths=jnp.asarray([0]))
