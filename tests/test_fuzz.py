@@ -331,3 +331,45 @@ def test_fuzz_interop_roundtrip(seed):
             np.testing.assert_array_equal(np.asarray(imp[key]),
                                           np.asarray(d[key]),
                                           err_msg=f"{seed}:{key}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_continuous_batching_schedule(seed):
+    """Random continuous-batching schedules: prompt lengths, step
+    counts, slot-pool sizes, chunked-vs-bucketed admission, and an EOS
+    id that fires for some prompts — every prompt's stream output must
+    equal its solo generation bitwise (the scheduler can change WHEN
+    rows compute, never WHAT they compute)."""
+    from qutlass_tpu.models import generate, init_params, tiny_config
+    from qutlass_tpu.models.continuous import ContinuousBatcher
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    h = bf16_hadamard(32)
+    rng = np.random.default_rng(12000 + seed)
+    n_prompts = int(rng.integers(3, 8))
+    prompts = [(rng.integers(0, cfg.vocab_size, int(rng.integers(1, 21))),
+                int(rng.integers(1, 9))) for _ in range(n_prompts)]
+    n_slots = int(rng.integers(1, 4))
+    chunk = int(rng.choice([0, 4, 8]))
+    eos = int(rng.integers(0, cfg.vocab_size)) if rng.random() < 0.5 else None
+
+    cb = ContinuousBatcher(cfg, params, h, n_slots=n_slots, max_len=64,
+                           chunk=chunk or None)
+    outs = cb.run(prompts, eos_id=eos)
+
+    for i, (ids, steps) in enumerate(prompts):
+        prompt = jnp.asarray(np.asarray(ids, np.int32)[None])
+        ref = np.asarray(generate(cfg, params, prompt, h, steps=steps,
+                                  max_len=64, eos_id=eos, pad_id=-1))[0]
+        keep = []
+        for t in ref:
+            if t == -1:
+                break
+            keep.append(t)
+            if eos is not None and t == eos:
+                break
+        np.testing.assert_array_equal(
+            outs[i], np.asarray(keep, np.int32),
+            err_msg=f"seed {seed} prompt {i} (slots={n_slots}, "
+                    f"chunk={chunk}, eos={eos})")
