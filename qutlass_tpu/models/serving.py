@@ -177,6 +177,41 @@ def prefill_step(cfg: ModelConfig, params, cache, tokens, start_pos, h=None,
     return x, new_cache
 
 
+def _chunked_loop(step, cache, tokens, *, max_len: int, chunk: int,
+                  lengths=None):
+    """Host loop shared by single-device and TP chunked prefill.
+
+    ``step(cache, chunk_tokens [B, C], start_pos) -> (x [B, C, D],
+    cache)``.  Returns (last-position hidden states [B, D], cache).
+    Validates the constraints documented on :func:`prefill_chunked`.
+    """
+    b, t = tokens.shape
+    lnp = (np.full((b,), t, np.int64) if lengths is None
+           else np.asarray(lengths))
+    if lnp.min() < 1 or lnp.max() > t:
+        raise ValueError(
+            f"lengths must satisfy 1 <= lengths <= T({t}); got range "
+            f"[{int(lnp.min())}, {int(lnp.max())}]")
+    nch = -(-t // chunk)
+    if nch * chunk > max_len:
+        raise ValueError(
+            f"chunked prefill needs ceil(T/chunk)*chunk <= max_len: "
+            f"{nch}*{chunk} > {max_len}")
+    padded = jnp.pad(tokens, ((0, 0), (0, nch * chunk - t)))
+    last = None
+    for i in range(nch):
+        x, cache = step(cache, padded[:, i * chunk:(i + 1) * chunk],
+                        jnp.int32(i * chunk))
+        # keep each row's hidden state at its own last prompt position
+        idx = lnp - 1 - i * chunk
+        rows = (idx >= 0) & (idx < chunk)
+        if rows.any():
+            sel = x[jnp.arange(b), jnp.clip(jnp.asarray(idx), 0, chunk - 1)]
+            last = sel if last is None else jnp.where(
+                jnp.asarray(rows)[:, None], sel, last)
+    return last, cache
+
+
 def prefill_chunked(cfg: ModelConfig, params, tokens, h=None, *,
                     max_len: int, chunk: int, quantized: bool = False,
                     method: str = "quest", mlp=None, lengths=None):
@@ -199,33 +234,14 @@ def prefill_chunked(cfg: ModelConfig, params, tokens, h=None, *,
     (the cache write of the final chunk would otherwise be clamped
     backwards onto valid positions).
     """
-    b, t = tokens.shape
-    lnp = (np.full((b,), t, np.int64) if lengths is None
-           else np.asarray(lengths))
-    if lnp.min() < 1 or lnp.max() > t:
-        raise ValueError(
-            f"lengths must satisfy 1 <= lengths <= T({t}); got range "
-            f"[{int(lnp.min())}, {int(lnp.max())}]")
-    nch = -(-t // chunk)
-    if nch * chunk > max_len:
-        raise ValueError(
-            f"chunked prefill needs ceil(T/chunk)*chunk <= max_len: "
-            f"{nch}*{chunk} > {max_len}")
-    padded = jnp.pad(tokens, ((0, 0), (0, nch * chunk - t)))
-    cache = init_cache(cfg, b, max_len)
-    last = None
-    for i in range(nch):
-        x, cache = prefill_step(cfg, params, cache,
-                                padded[:, i * chunk:(i + 1) * chunk],
-                                jnp.int32(i * chunk), h,
-                                quantized=quantized, method=method, mlp=mlp)
-        # keep each row's hidden state at its own last prompt position
-        idx = lnp - 1 - i * chunk
-        rows = (idx >= 0) & (idx < chunk)
-        if rows.any():
-            sel = x[jnp.arange(b), jnp.clip(jnp.asarray(idx), 0, chunk - 1)]
-            last = sel if last is None else jnp.where(
-                jnp.asarray(rows)[:, None], sel, last)
+    def step(cache, toks, pos):
+        return prefill_step(cfg, params, cache, toks, pos, h,
+                            quantized=quantized, method=method, mlp=mlp)
+
+    last, cache = _chunked_loop(step, init_cache(cfg, tokens.shape[0],
+                                                 max_len), tokens,
+                                max_len=max_len, chunk=chunk,
+                                lengths=lengths)
     return _logits_jit(cfg, params, last), cache
 
 

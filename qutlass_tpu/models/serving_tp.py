@@ -271,6 +271,35 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
     return run(params, prompt, key)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
+                                             "quantized", "method",
+                                             "specs_fn", "mlp_factory"))
+def tp_prefill_step(cfg: ModelConfig, params, cache, tokens, start_pos, h,
+                    mesh: Mesh, *, quantized: bool = True,
+                    method: str = "quest", axis: str = "tp",
+                    specs_fn=None, mlp_factory=None):
+    """Sharded chunk prefill into an EXISTING sharded cache at traced
+    ``start_pos`` — the TP twin of :func:`serving.prefill_step`.
+    Returns (hidden states x [B, C, D] replicated, sharded cache)."""
+    tp = mesh.shape[axis]
+    scfg = shard_cfg(cfg, tp)
+    specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
+    mlp = mlp_factory(cfg, axis) if mlp_factory else None
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(specs, _cache_spec(cfg, axis), P(None, None), P()),
+        out_specs=(P(None, None, None), _cache_spec(cfg, axis)),
+        check_rep=False)
+    def run(p, cache, toks, ps):
+        x = p["embed"][toks]
+        x, cache = _run_blocks(scfg, p, x, cache, ps, h, method, quantized,
+                               axis, mlp=mlp)
+        return x, cache
+
+    return run(params, cache, tokens, start_pos)
+
+
 class TPEngine:
     """Continuous-batching engine over the TP mesh.
 
@@ -284,9 +313,11 @@ class TPEngine:
 
     def __init__(self, cfg: ModelConfig, params, h, mesh: Mesh, *,
                  axis: str = "tp", quantized: bool = True,
-                 method: str = "quest", specs_fn=None, mlp_factory=None):
+                 method: str = "quest", specs_fn=None, mlp_factory=None,
+                 chunk: int | None = None):
         self.cfg, self.params, self.h = cfg, params, h
         self.mesh, self.axis = mesh, axis
+        self.chunk = chunk
         self.kw = dict(quantized=quantized, method=method, axis=axis,
                        specs_fn=specs_fn, mlp_factory=mlp_factory)
 
@@ -298,6 +329,21 @@ class TPEngine:
             spec, cache, is_leaf=lambda s: isinstance(s, P))
 
     def prefill(self, tokens, length, max_len: int):
+        if self.chunk:
+            from .serving import _chunked_loop, _logits_jit
+            import numpy as np
+
+            def step(cache, toks, pos):
+                return tp_prefill_step(self.cfg, self.params, cache, toks,
+                                       pos, self.h, self.mesh, **self.kw)
+
+            t = int(np.asarray(length)[0])
+            last, cache = _chunked_loop(
+                step, self.init_cache(tokens.shape[0], max_len),
+                tokens[:, :t], max_len=max_len, chunk=self.chunk)
+            # final norm + head are replicated in the param specs, so
+            # the logits run outside the shard_map on global arrays
+            return _logits_jit(self.cfg, self.params, last), cache
         return tp_prefill(self.cfg, self.params, tokens, self.h, self.mesh,
                           max_len=max_len, lengths=length, **self.kw)
 

@@ -198,3 +198,27 @@ def test_stream_chunked_admission_matches_solo(setup, quantized):
         ref = _solo(cfg, p, h, ids, steps, quantized)
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"prompt {i} diverged")
+
+
+def test_stream_tp_engine_chunked_matches_solo(setup):
+    """TP engine with chunked admission (tp_prefill_step): identical
+    outputs to solo single-device generation, with one chunk-wide
+    compiled TP prefill program instead of the bucket ladder."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    from qutlass_tpu.models import serving_tp as TP
+    from qutlass_tpu.parallel.sharding import make_mesh
+
+    cfg, params, qparams, h = setup
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    eng = TP.TPEngine(cfg, sp, h, mesh, quantized=True, chunk=8)
+    rng = np.random.default_rng(9)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 20)), 4)
+               for _ in range(4)]
+    cb = ContinuousBatcher(n_slots=2, max_len=64, engine=eng)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, qparams, h, ids, steps, True)
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")
