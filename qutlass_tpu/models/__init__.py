@@ -1,8 +1,9 @@
 from . import continuous, hf_loader, moe, moe_tp, serving, serving_tp
-from .continuous import ContinuousBatcher
+from .continuous import ContinuousBatcher, LocalEngine
 from .moe import MoeConfig, QWEN3_MOE_30B_A3B, tiny_moe_config
 from .serving import (decode_step, generate, init_cache, prefill,
-                      sample_logits)
+                      prefill_chunked, prefill_step, sample_logits)
+from .serving_tp import TPEngine
 from .transformer import (ModelConfig, QWEN3_8B, QWEN3_14B, QWEN3_32B,
                           LLAMA31_8B, LLAMA31_70B, init_params, forward,
                           quantize_model_weights, tiny_config)
@@ -10,7 +11,8 @@ from .transformer import (ModelConfig, QWEN3_8B, QWEN3_14B, QWEN3_32B,
 __all__ = ["ModelConfig", "QWEN3_8B", "QWEN3_14B", "QWEN3_32B", "LLAMA31_8B",
            "LLAMA31_70B", "init_params", "forward", "quantize_model_weights",
            "tiny_config", "serving", "prefill", "decode_step", "generate",
-           "init_cache", "sample_logits", "hf_loader", "moe", "moe_tp",
-           "serving_tp", "continuous", "ContinuousBatcher",
-           "MoeConfig",
+           "init_cache", "sample_logits", "prefill_chunked", "prefill_step",
+           "hf_loader", "moe", "moe_tp",
+           "serving_tp", "continuous", "ContinuousBatcher", "LocalEngine",
+           "TPEngine", "MoeConfig",
            "QWEN3_MOE_30B_A3B", "tiny_moe_config"]
