@@ -114,6 +114,36 @@ for fmt, wf, method in (("nv", "int8", "abs_max"), ("nv", "fp4", "abs_max"),
     assert 0.8 < ratio < 1.25, (fmt, wf, method, ratio)
     print(f"OK _linear fmt={fmt} wf={wf} method={method} norm-ratio {ratio:.3f}")
 
+# The scaled decoders gained variable-distance vector shifts (subnormal
+# RTNE) this session; they trace inside the NVFP4 GEMM and QAT backward
+# Pallas kernels — exercise those Mosaic lowerings explicitly.
+xg = jnp.asarray((rng.standard_normal((128, 512)) * 2)
+                 .astype(ml_dtypes.bfloat16))
+wg = jnp.asarray((rng.standard_normal((128, 512)) * 0.05)
+                 .astype(ml_dtypes.bfloat16))
+gsd = jnp.asarray(3.0, jnp.float32)
+aq, asf = q.fusedQuantizeNv(xg, h16, gsd, method="abs_max", layout="kmajor")
+bq, bsf = q.fusedQuantizeNv(wg, h16, gsd, method="abs_max", layout="kmajor")
+alpha = jnp.full((1,), 1.0 / (float(gsd) * float(gsd)), jnp.float32)
+from qutlass_tpu.ops.dispatch import set_backend
+
+y_p = q.matmul_nvf4_bf16_kmajor(aq, bq, asf, bsf, alpha)
+set_backend("emulation")
+y_e = q.matmul_nvf4_bf16_kmajor(aq, bq, asf, bsf, alpha)
+set_backend("auto")
+assert np.array_equal(np.asarray(y_p, np.float32),
+                      np.asarray(y_e, np.float32))
+print("OK nvf4 GEMM (e4m3 scaled decode) lowers + bitwise vs emulation")
+
+mq, msf = q.fusedQuantizeMx(xg, h, method="quest")
+tq, tsf = q.backward_qt_bf16(mq, msf, h, jnp.float32(1.0))
+set_backend("emulation")
+te, tse = q.backward_qt_bf16(mq, msf, h, jnp.float32(1.0))
+set_backend("auto")
+assert np.array_equal(np.asarray(tq), np.asarray(te))
+assert np.array_equal(np.asarray(tsf), np.asarray(tse))
+print("OK backward_qt (e2m1 scaled decode) lowers + bitwise vs emulation")
+
 # gsx exact-vs-bound perf (the bound skips the second rotation; it is
 # OPT-IN via QUTLASS_TPU_NV_GSX=bound pending this measurement — a
 # clear win here justifies revisiting the default for throughput runs)

@@ -137,8 +137,9 @@ def e2m1_decode_scaled_bf16(codes: jax.Array, scale_bytes: jax.Array) -> jax.Arr
 
     Exponent-field underflow produces the exact bf16 SUBNORMAL (the
     2-bit e2m1 significand shifts without loss down to scale byte 0);
-    overflow (scale byte near 254) is out of range for scales produced
-    by the quantizers on finite bf16 data and is not guarded.
+    exponent-field overflow (scale byte 254 with |code| >= 4 — only
+    reachable via imported scale bytes) saturates to inf like the
+    fp64 oracle's bf16 cast.
     """
     # bf16 bits of grid[mag] * 2^(scale-127):
     #   mag==0          -> 0
@@ -162,7 +163,8 @@ def e2m1_decode_scaled_bf16(codes: jax.Array, scale_bytes: jax.Array) -> jax.Arr
     half = 1 << (s - 1)
     subn = shifted + ((rem > half) | ((rem == half) & (shifted & 1))
                       ).astype(jnp.int32)
-    bits = jnp.where(mag == 0, 0, jnp.where(x > 0, norm, subn))
+    hi = jnp.where(x >= 255, 255 << 7, norm)       # overflow -> inf
+    bits = jnp.where(mag == 0, 0, jnp.where(x > 0, hi, subn))
     bits = bits | ((codes & 8) << 12)              # sign -> bit 15
     return _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
 

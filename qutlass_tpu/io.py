@@ -48,7 +48,16 @@ def save_quantized(path: str, tree: Any, metadata: dict | None = None) -> None:
 
 def load_quantized(path: str, like: Any):
     """Load arrays saved by :func:`save_quantized` into the structure of
-    ``like`` (same treedef)."""
+    ``like`` (same treedef).
+
+    Compatibility note: abs_max MX weight dicts gained an ``am`` marker
+    leaf (the weight-side 1/3 dequant factor now composes from the
+    stored dict, not the runtime method).  Trees saved with abs_max
+    weights BEFORE that change have fewer leaves than a
+    freshly-quantized ``like`` and fail the treedef match here —
+    re-quantize and re-save them rather than forcing a structure-
+    matching ``like`` built with quest (which would silently mis-scale
+    by 3x per operand under a runtime method of abs_max)."""
     import ml_dtypes
 
     with np.load(path) as data:

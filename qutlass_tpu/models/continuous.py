@@ -113,6 +113,11 @@ class ContinuousBatcher:
                  n_slots: int, max_len: int, quantized: bool = False,
                  method: str = "quest", mlp=None, engine=None,
                  chunk: int | None = None):
+        if engine is not None and chunk is not None:
+            raise ValueError(
+                "pass chunk to the engine's own constructor "
+                "(e.g. TPEngine(..., chunk=N)); the batcher-level chunk "
+                "only configures the default LocalEngine")
         self.engine = engine if engine is not None else LocalEngine(
             cfg, params, h, quantized=quantized, method=method, mlp=mlp,
             chunk=chunk)
@@ -158,7 +163,24 @@ class ContinuousBatcher:
 
         Returns a list of np arrays, one per prompt, each the generated
         tokens (including the EOS token, truncated after it).
+
+        Every prompt is validated against the cache geometry BEFORE any
+        admission, so a bad prompt rejects the whole call up front
+        instead of raising mid-stream after earlier prompts already
+        ran.
         """
+        chunk = getattr(self.engine, "chunk", None)
+        for pid, (ids, steps) in enumerate(prompts):
+            if len(ids) + steps > self.max_len:
+                raise ValueError(
+                    f"prompt {pid}: len {len(ids)} + steps {steps} "
+                    f"exceeds max_len {self.max_len}")
+            if chunk and -(-len(ids) // chunk) * chunk > self.max_len:
+                raise ValueError(
+                    f"prompt {pid}: chunked admission pads len "
+                    f"{len(ids)} to {-(-len(ids) // chunk) * chunk} "
+                    f"(> max_len {self.max_len}); use a chunk that "
+                    f"divides max_len or a longer cache")
         queue = list(enumerate(prompts))
         outputs: dict[int, list] = {i: [] for i in range(len(prompts))}
         while queue or any(s.remaining > 0 for s in self.slots):
@@ -166,10 +188,6 @@ class ContinuousBatcher:
             for i, s in enumerate(self.slots):
                 if s.remaining <= 0 and queue:
                     pid, (ids, steps) = queue.pop(0)
-                    if len(ids) + steps > self.max_len:
-                        raise ValueError(
-                            f"prompt {pid}: len {len(ids)} + steps {steps} "
-                            f"exceeds max_len {self.max_len}")
                     self._admit(i, pid, np.asarray(ids, np.int32), steps)
             tokens = self._step()
             for i, s in enumerate(self.slots):

@@ -221,9 +221,11 @@ def prefill_chunked(cfg: ModelConfig, params, tokens, h=None, *,
     The prompt is right-padded to a multiple of ``chunk`` and fed
     through :func:`prefill_step` chunk by chunk (causal attention reads
     earlier chunks from the cache, so the hidden states equal the
-    one-shot prefill's bit-for-bit — the padded tail positions compute
-    garbage that decode overwrites before any query can attend to it,
-    the same argument as ragged prefill).  Serving stacks chunk prefill
+    one-shot prefill's bit-for-bit on CPU; on TPU the chunk-wide
+    programs are a different fusion context than the T-wide one —
+    ulp-level drift, docs/NUMERICS.md — the padded tail positions
+    compute garbage that decode overwrites before any query can attend
+    to it, the same argument as ragged prefill).  Serving stacks chunk prefill
     for exactly this reason: one compiled program covers every prompt
     length, and very long prompts never materialize a [T, T] score
     block.  Returns (logits [B, vocab] at each row's last position,

@@ -268,7 +268,10 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         # the EXACT amax stays the default until the bound's perf win
         # is confirmed on-device (benchmarks/tpu_recheck_r2s4.py).
         # 1.004 slack covers bf16 rounding of H's entries (<= 2^-9 per
-        # column norm) + f32 accumulation.
+        # column norm) + f32 accumulation.  The env var is read at
+        # TRACE time: set it before the first compile of each shape —
+        # flipping it later leaves already-compiled programs on the
+        # old mode.
         if os.environ.get("QUTLASS_TPU_NV_GSX", "exact") == "bound":
             xf = x2.astype(jnp.float32).reshape(-1, h.shape[-1])
             xh_amax = jnp.sqrt(jnp.max(jnp.sum(xf * xf, axis=-1))) * 1.004

@@ -127,7 +127,7 @@ def test_scaled_decode_subnormal_edges():
     from qutlass_tpu.formats import codecs as C
 
     codes = jnp.asarray([[c for c in range(16)]], jnp.int32)
-    for sb in (0, 1, 2, 5):
+    for sb in (0, 1, 2, 5, 250, 254):
         got = np.asarray(C.e2m1_decode_scaled_bf16(
             codes, jnp.full((1, 1), sb, jnp.int32))).astype(np.float64)
         grid = np.asarray([0, .5, 1, 1.5, 2, 3, 4, 6], np.float64)
