@@ -87,6 +87,24 @@ class LocalEngine:
         return _prefill_one(self.cfg, self.params, tokens, length, self.h,
                             max_len=max_len, **self.kw)
 
+    def prefill_from(self, cache, tokens, start: int, max_len: int):
+        """Continue prefill of a suffix [1, T'] from position ``start``
+        into an existing 1-row cache (prefix-cache continuation);
+        returns (logits [1, V], cache)."""
+        from .serving import _chunked_loop, _logits_jit, prefill_step
+
+        def step(c, toks, pos):
+            return prefill_step(self.cfg, self.params, c, toks, pos,
+                                self.h, **self.kw)
+
+        ts = tokens.shape[1]
+        cw = self.chunk or _bucket(ts)
+        if start + -(-ts // cw) * cw > max_len:
+            cw = ts      # padding won't fit the cache: exact-width step
+        last, cache = _chunked_loop(step, cache, tokens, max_len=max_len,
+                                    chunk=cw, start=start)
+        return _logits_jit(self.cfg, self.params, last), cache
+
     def decode(self, cache, token, pos):
         return decode_step(self.cfg, self.params, cache, token, pos, self.h,
                            **self.kw)
@@ -127,17 +145,49 @@ class ContinuousBatcher:
         self.token = jnp.zeros((n_slots,), jnp.int32)
         self.pos = jnp.zeros((n_slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(n_slots)]
+        self._prefix = None
 
-    # ------------------------------------------------------------- admission
-    def _admit(self, slot: int, prompt_id: int, ids: np.ndarray, steps: int):
+    # ---------------------------------------------------------- prefix cache
+    def set_prefix(self, ids) -> None:
+        """Prefill a shared prompt PREFIX once; admissions whose prompt
+        starts with it reuse the cached KV rows and only prefill their
+        suffix (the vLLM prefix-caching role).  Outputs are identical
+        to prefilling the full prompt — the prefix cache rows ARE the
+        full prefill's rows for those positions.  Pass ``None`` to
+        clear."""
+        if ids is None:
+            self._prefix = None
+            return
+        ids = np.asarray(ids, np.int32)
+        logits, cache = self.engine.prefill(
+            jnp.asarray(ids[None]), jnp.asarray([len(ids)], jnp.int32),
+            self.max_len)
+        self._prefix = (ids, logits, cache)
+
+    def _prefill_admit(self, ids: np.ndarray):
+        """(logits [1,V], cache-1row) for a prompt, via the prefix cache
+        when the prompt starts with the registered prefix."""
         t = len(ids)
+        if self._prefix is not None:
+            pids, plogits, pcache = self._prefix
+            L = len(pids)
+            if t >= L and np.array_equal(ids[:L], pids):
+                if t == L:
+                    return plogits, pcache
+                return self.engine.prefill_from(
+                    pcache, jnp.asarray(ids[None, L:]), L, self.max_len)
         # the prefill block may not exceed the cache length (the slice
         # update in serving._block requires update <= operand)
         tb = min(_bucket(t), self.max_len)
         padded = np.zeros((1, tb), np.int32)
         padded[0, :t] = ids
-        logits, cache1 = self.engine.prefill(
+        return self.engine.prefill(
             jnp.asarray(padded), jnp.asarray([t], jnp.int32), self.max_len)
+
+    # ------------------------------------------------------------- admission
+    def _admit(self, slot: int, prompt_id: int, ids: np.ndarray, steps: int):
+        t = len(ids)
+        logits, cache1 = self._prefill_admit(ids)
         first = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
         # splice the tenant's cache rows into the batch cache
         for l, (cl, c1) in enumerate(zip(self.cache, cache1)):

@@ -178,12 +178,15 @@ def prefill_step(cfg: ModelConfig, params, cache, tokens, start_pos, h=None,
 
 
 def _chunked_loop(step, cache, tokens, *, max_len: int, chunk: int,
-                  lengths=None):
+                  lengths=None, start: int = 0):
     """Host loop shared by single-device and TP chunked prefill.
 
     ``step(cache, chunk_tokens [B, C], start_pos) -> (x [B, C, D],
     cache)``.  Returns (last-position hidden states [B, D], cache).
     Validates the constraints documented on :func:`prefill_chunked`.
+    ``start`` offsets every write/attend position — the prefix-cache
+    continuation path (``tokens`` are then the suffix, positions
+    [start, start + T)).
     """
     b, t = tokens.shape
     lnp = (np.full((b,), t, np.int64) if lengths is None
@@ -193,15 +196,15 @@ def _chunked_loop(step, cache, tokens, *, max_len: int, chunk: int,
             f"lengths must satisfy 1 <= lengths <= T({t}); got range "
             f"[{int(lnp.min())}, {int(lnp.max())}]")
     nch = -(-t // chunk)
-    if nch * chunk > max_len:
+    if start + nch * chunk > max_len:
         raise ValueError(
-            f"chunked prefill needs ceil(T/chunk)*chunk <= max_len: "
-            f"{nch}*{chunk} > {max_len}")
+            f"chunked prefill needs start + ceil(T/chunk)*chunk <= "
+            f"max_len: {start} + {nch}*{chunk} > {max_len}")
     padded = jnp.pad(tokens, ((0, 0), (0, nch * chunk - t)))
     last = None
     for i in range(nch):
         x, cache = step(cache, padded[:, i * chunk:(i + 1) * chunk],
-                        jnp.int32(i * chunk))
+                        jnp.int32(start + i * chunk))
         # keep each row's hidden state at its own last prompt position
         idx = lnp - 1 - i * chunk
         rows = (idx >= 0) & (idx < chunk)

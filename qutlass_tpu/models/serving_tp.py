@@ -347,6 +347,25 @@ class TPEngine:
         return tp_prefill(self.cfg, self.params, tokens, self.h, self.mesh,
                           max_len=max_len, lengths=length, **self.kw)
 
+    def prefill_from(self, cache, tokens, start: int, max_len: int):
+        """Continue prefill of a suffix [1, T'] from position ``start``
+        into an existing sharded 1-row cache (prefix-cache
+        continuation); returns (logits [1, V], cache)."""
+        from .continuous import _bucket
+        from .serving import _chunked_loop, _logits_jit
+
+        def step(c, toks, pos):
+            return tp_prefill_step(self.cfg, self.params, c, toks, pos,
+                                   self.h, self.mesh, **self.kw)
+
+        ts = tokens.shape[1]
+        cw = self.chunk or _bucket(ts)
+        if start + -(-ts // cw) * cw > max_len:
+            cw = ts      # padding won't fit the cache: exact-width step
+        last, cache = _chunked_loop(step, cache, tokens, max_len=max_len,
+                                    chunk=cw, start=start)
+        return _logits_jit(self.cfg, self.params, last), cache
+
     def decode(self, cache, token, pos):
         return tp_decode_step(self.cfg, self.params, cache, token, pos,
                               self.h, self.mesh, **self.kw)

@@ -222,3 +222,56 @@ def test_stream_tp_engine_chunked_matches_solo(setup):
         ref = _solo(cfg, qparams, h, ids, steps, True)
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"prompt {i} diverged")
+
+
+@pytest.mark.parametrize("chunk", [None, 4])
+def test_prefix_cache_matches_solo(setup, chunk):
+    """Prefix caching: prompts sharing a registered prefix reuse its KV
+    rows and only prefill their suffix — outputs equal solo generation
+    of the FULL prompt bitwise; non-matching prompts and the
+    prefix==prompt edge take their own paths and match too."""
+    cfg, params, qparams, h = setup
+    rng = np.random.default_rng(11)
+    prefix = rng.integers(0, cfg.vocab_size, 9)
+    prompts = [
+        (np.concatenate([prefix, rng.integers(0, cfg.vocab_size, 5)]), 5),
+        (np.concatenate([prefix, rng.integers(0, cfg.vocab_size, 1)]), 4),
+        (prefix.copy(), 4),                                # prefix == prompt
+        (rng.integers(0, cfg.vocab_size, 6), 5),           # no prefix match
+        (np.concatenate([prefix, rng.integers(0, cfg.vocab_size, 11)]), 3),
+    ]
+    cb = ContinuousBatcher(cfg, qparams, h, n_slots=2, max_len=64,
+                           quantized=True, chunk=chunk)
+    cb.set_prefix(prefix)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, qparams, h, ids, steps, True)
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")
+
+
+def test_prefix_cache_tp_engine(setup):
+    """Prefix caching through the TP engine: sharded prefix rows splice
+    + suffix continuation, tokens equal solo single-device output."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    from qutlass_tpu.models import serving_tp as TP
+    from qutlass_tpu.parallel.sharding import make_mesh
+
+    cfg, params, qparams, h = setup
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    eng = TP.TPEngine(cfg, sp, h, mesh, quantized=True)
+    rng = np.random.default_rng(13)
+    prefix = rng.integers(0, cfg.vocab_size, 8)
+    prompts = [
+        (np.concatenate([prefix, rng.integers(0, cfg.vocab_size, 4)]), 4),
+        (rng.integers(0, cfg.vocab_size, 5), 4),
+    ]
+    cb = ContinuousBatcher(n_slots=2, max_len=64, engine=eng)
+    cb.set_prefix(prefix)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, qparams, h, ids, steps, True)
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")
