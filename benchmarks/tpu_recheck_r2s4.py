@@ -173,4 +173,32 @@ for m_ in (16, 256, 2048):
           f"bound {times['bound']*1e6:8.1f}us  "
           f"ratio {times['exact']/times['bound']:.3f}x")
 
+# int8 KV cache decode-step timing (the motivating measurement: the
+# decode attention is bandwidth-bound on the cache stream; int8 halves
+# the bytes).  Qwen3-8B-ish geometry, long context.
+from qutlass_tpu.models import (decode_step, init_params, prefill,
+                                quantize_model_weights)
+from qutlass_tpu.models.transformer import ModelConfig
+
+cfg8 = ModelConfig(vocab_size=8192, hidden_size=4096,
+                   intermediate_size=12288, num_layers=2, num_heads=32,
+                   num_kv_heads=8, head_dim=128)
+p8 = init_params(cfg8, jax.random.PRNGKey(0))
+qp8 = quantize_model_weights(cfg8, p8, h)
+ctx, b8 = 2048, 8
+prompt = jnp.zeros((b8, ctx - 8), jnp.int32)
+for fmtname in ("bf16", "int8"):
+    _, cache8 = prefill(cfg8, qp8, prompt, h, max_len=ctx, quantized=True,
+                        cache_format=fmtname)
+
+    def op(dep, i, params, _f=fmtname):
+        tok = (profiling.chain_dep(params["t"], dep)).astype(jnp.int32)
+        lg, _ = decode_step(cfg8, qp8, params["c"], tok,
+                            jnp.int32(ctx - 8 + (i % 4)), h, quantized=True)
+        return lg[..., :1]
+
+    t = profiling.benchmark(op, params={"t": jnp.zeros((b8,), jnp.int32),
+                                        "c": cache8})
+    print(f"decode step ctx={ctx} b={b8} cache={fmtname}: {t*1e6:9.1f} us")
+
 print("ALL SESSION-5 CHECKS OK")

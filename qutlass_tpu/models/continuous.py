@@ -42,13 +42,14 @@ def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method",
-                                             "max_len", "mlp"))
+                                             "max_len", "mlp",
+                                             "cache_format"))
 def _prefill_one(cfg, params, tokens, length, h, *, max_len, quantized,
-                 method, mlp=None):
+                 method, mlp=None, cache_format="bf16"):
     """Prefill a single padded prompt [1, T]; returns (logits, cache)."""
     return prefill(cfg, params, tokens, h, max_len=max_len,
                    quantized=quantized, method=method, mlp=mlp,
-                   lengths=length)
+                   lengths=length, cache_format=cache_format)
 
 
 @dataclass
@@ -70,22 +71,24 @@ class LocalEngine:
 
     def __init__(self, cfg: ModelConfig, params, h=None, *,
                  quantized: bool = False, method: str = "quest", mlp=None,
-                 chunk: int | None = None):
+                 chunk: int | None = None, cache_format: str = "bf16"):
         self.cfg, self.params, self.h = cfg, params, h
         self.chunk = chunk
+        self.cache_format = cache_format
         self.kw = dict(quantized=quantized, method=method, mlp=mlp)
 
     def init_cache(self, n: int, max_len: int):
-        return init_cache(self.cfg, n, max_len)
+        return init_cache(self.cfg, n, max_len, self.cache_format)
 
     def prefill(self, tokens, length, max_len: int):
         if self.chunk:
             t = int(np.asarray(length)[0])
             return prefill_chunked(self.cfg, self.params, tokens[:, :t],
-                                   self.h, max_len=max_len,
-                                   chunk=self.chunk, **self.kw)
+                                   self.h, max_len=max_len, chunk=self.chunk,
+                                   cache_format=self.cache_format, **self.kw)
         return _prefill_one(self.cfg, self.params, tokens, length, self.h,
-                            max_len=max_len, **self.kw)
+                            max_len=max_len,
+                            cache_format=self.cache_format, **self.kw)
 
     def prefill_from(self, cache, tokens, start: int, max_len: int):
         """Continue prefill of a suffix [1, T'] from position ``start``
@@ -130,7 +133,7 @@ class ContinuousBatcher:
     def __init__(self, cfg: ModelConfig = None, params=None, h=None, *,
                  n_slots: int, max_len: int, quantized: bool = False,
                  method: str = "quest", mlp=None, engine=None,
-                 chunk: int | None = None):
+                 chunk: int | None = None, cache_format: str = "bf16"):
         if engine is not None and chunk is not None:
             raise ValueError(
                 "pass chunk to the engine's own constructor "
@@ -138,7 +141,7 @@ class ContinuousBatcher:
                 "only configures the default LocalEngine")
         self.engine = engine if engine is not None else LocalEngine(
             cfg, params, h, quantized=quantized, method=method, mlp=mlp,
-            chunk=chunk)
+            chunk=chunk, cache_format=cache_format)
         self.n = n_slots
         self.max_len = max_len
         self.cache = self.engine.init_cache(n_slots, max_len)
@@ -189,10 +192,11 @@ class ContinuousBatcher:
         t = len(ids)
         logits, cache1 = self._prefill_admit(ids)
         first = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-        # splice the tenant's cache rows into the batch cache
+        # splice the tenant's cache rows into the batch cache (every
+        # leaf — the int8 cache format carries ks/vs scale planes too)
         for l, (cl, c1) in enumerate(zip(self.cache, cache1)):
-            for kv in ("k", "v"):
-                self.cache[l][kv] = cl[kv].at[slot].set(c1[kv][0])
+            self.cache[l] = {kk: cl[kk].at[slot].set(c1[kk][0])
+                             for kk in cl}
         self.token = self.token.at[slot].set(first)
         self.pos = self.pos.at[slot].set(t)
         self.slots[slot] = _Slot(prompt_id, steps, False)

@@ -22,11 +22,43 @@ import numpy as np
 from .transformer import ModelConfig, _linear, _rms_norm, _rope
 
 
-def init_cache(cfg: ModelConfig, batch: int, max_len: int):
-    """Per-layer KV cache pytree: k/v [B, max_len, kv_heads, head_dim]."""
+def init_cache(cfg: ModelConfig, batch: int, max_len: int,
+               fmt: str = "bf16"):
+    """Per-layer KV cache pytree: k/v [B, max_len, kv_heads, head_dim].
+
+    ``fmt="int8"`` stores K/V as int8 with a per-(position, head) f32
+    scale (``ks``/``vs`` [B, max_len, kv_heads]) — HALF the cache bytes,
+    so the decode attention (bandwidth-bound on the cache stream) reads
+    half the HBM traffic; the dequant multiply fuses into the attention
+    einsum's loads.  Values carry a bounded symmetric-quantization
+    rounding (|err| <= rowmax/254 per element); the vLLM fp8-KV-cache
+    role, int8 because TPU device arrays reject fp8 dtypes.
+    """
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if fmt == "int8":
+        return [{"k": jnp.zeros(shape, jnp.int8),
+                 "ks": jnp.zeros(shape[:3], jnp.float32),
+                 "v": jnp.zeros(shape, jnp.int8),
+                 "vs": jnp.zeros(shape[:3], jnp.float32)}
+                for _ in range(cfg.num_layers)]
+    if fmt != "bf16":
+        raise ValueError(f"unknown KV cache format {fmt!r} "
+                         "(expected 'bf16' or 'int8')")
     return [{"k": jnp.zeros(shape, jnp.bfloat16),
              "v": jnp.zeros(shape, jnp.bfloat16)} for _ in range(cfg.num_layers)]
+
+
+def _kv_quantize(x):
+    """bf16 [B, T, H, D] -> (int8 values, f32 per-(pos, head) scales)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = amax / 127.0
+    q = jnp.round(xf / jnp.maximum(s, 1e-30)[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), s
+
+
+def _kv_dequantize(q, s):
+    return q.astype(jnp.float32) * s[..., None]
 
 
 def _attend(cfg, qh, kc, vc, pos_limit):
@@ -95,6 +127,9 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
     qh = _rope(qh, positions, cfg.rope_theta)
     kh = _rope(kh, positions, cfg.rope_theta)
 
+    if "ks" in cache_l:        # int8 KV cache (see init_cache)
+        kh, ks_ = _kv_quantize(kh)
+        vh, vs_ = _kv_quantize(vh)
     if sp.ndim == 0:
         kc = jax.lax.dynamic_update_slice(cache_l["k"], kh,
                                           (0, start_pos, 0, 0))
@@ -104,8 +139,22 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
         # ragged decode: per-row write position (t must be 1)
         kc = cache_l["k"].at[jnp.arange(b), sp].set(kh[:, 0])
         vc = cache_l["v"].at[jnp.arange(b), sp].set(vh[:, 0])
+    new_cache_l = {"k": kc, "v": vc}
+    ka, va = kc, vc
+    if "ks" in cache_l:
+        if sp.ndim == 0:
+            ksc = jax.lax.dynamic_update_slice(cache_l["ks"], ks_,
+                                               (0, start_pos, 0))
+            vsc = jax.lax.dynamic_update_slice(cache_l["vs"], vs_,
+                                               (0, start_pos, 0))
+        else:
+            ksc = cache_l["ks"].at[jnp.arange(b), sp].set(ks_[:, 0])
+            vsc = cache_l["vs"].at[jnp.arange(b), sp].set(vs_[:, 0])
+        new_cache_l.update(ks=ksc, vs=vsc)
+        # dequant fuses into the attention einsum's cache loads
+        ka, va = _kv_dequantize(kc, ksc), _kv_dequantize(vc, vsc)
 
-    attn = _attend(cfg, qh, kc, vc, sp + t)
+    attn = _attend(cfg, qh, ka, va, sp + t)
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
     x = x + red(_linear(attn, layer["o_proj"], h, method, quantized,
                         out_dtype=red_dt))
@@ -121,7 +170,7 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
         branch = _linear(act, layer["down_proj"], h, method, quantized,
                          out_dtype=red_dt)
     x = x + red(branch)
-    return x, {"k": kc, "v": vc}
+    return x, new_cache_l
 
 
 def _logits(cfg, params, x):
@@ -133,10 +182,10 @@ def _logits(cfg, params, x):
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "quantized", "method", "max_len",
-                                    "mlp"))
+                                    "mlp", "cache_format"))
 def prefill(cfg: ModelConfig, params, tokens, h=None, *, max_len: int,
             quantized: bool = False, method: str = "quest", mlp=None,
-            lengths=None):
+            lengths=None, cache_format: str = "bf16"):
     """Prefill [B, T] prompt -> (last-position logits [B, vocab], cache).
 
     ``lengths`` [B] enables ragged batches: prompts are right-padded to
@@ -146,7 +195,7 @@ def prefill(cfg: ModelConfig, params, tokens, h=None, *, max_len: int,
     subsequent decode steps before they ever become visible.
     """
     b, t = tokens.shape
-    cache = init_cache(cfg, b, max_len)
+    cache = init_cache(cfg, b, max_len, cache_format)
     x = params["embed"][tokens]
     new_cache = []
     for layer, cache_l in zip(params["layers"], cache):
@@ -217,7 +266,8 @@ def _chunked_loop(step, cache, tokens, *, max_len: int, chunk: int,
 
 def prefill_chunked(cfg: ModelConfig, params, tokens, h=None, *,
                     max_len: int, chunk: int, quantized: bool = False,
-                    method: str = "quest", mlp=None, lengths=None):
+                    method: str = "quest", mlp=None, lengths=None,
+                    cache_format: str = "bf16"):
     """Chunked prefill: identical results to :func:`prefill`, one
     ``chunk``-wide compiled program instead of a per-length compile.
 
@@ -244,8 +294,8 @@ def prefill_chunked(cfg: ModelConfig, params, tokens, h=None, *,
                             quantized=quantized, method=method, mlp=mlp)
 
     last, cache = _chunked_loop(step, init_cache(cfg, tokens.shape[0],
-                                                 max_len), tokens,
-                                max_len=max_len, chunk=chunk,
+                                                 max_len, cache_format),
+                                tokens, max_len=max_len, chunk=chunk,
                                 lengths=lengths)
     return _logits_jit(cfg, params, last), cache
 
@@ -346,12 +396,14 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "steps", "quantized", "method",
                                     "max_len", "temperature", "top_k",
-                                    "top_p", "eos_id", "pad_id", "mlp"))
+                                    "top_p", "eos_id", "pad_id", "mlp",
+                                    "cache_format"))
 def _generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
               max_len: int, quantized: bool = False, method: str = "quest",
               key=None, temperature: float = 0.0, top_k: int = 0,
               top_p: float = 1.0, eos_id: int | None = None,
-              pad_id: int = 0, mlp=None, lengths=None):
+              pad_id: int = 0, mlp=None, lengths=None,
+              cache_format: str = "bf16"):
     """Jitted generation loop: prompt [B, T] -> tokens [B, steps].
 
     One compiled dispatch: prefill + ``steps`` decode iterations under
@@ -373,7 +425,7 @@ def _generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
 
     logits, cache = prefill(cfg, params, prompt, h, max_len=max_len,
                             quantized=quantized, method=method, mlp=mlp,
-                            lengths=lengths)
+                            lengths=lengths, cache_format=cache_format)
     key, k0 = jax.random.split(key)
     first = pick(logits, k0)
     done0 = jnp.zeros((b,), bool)

@@ -275,3 +275,26 @@ def test_prefix_cache_tp_engine(setup):
         ref = _solo(cfg, qparams, h, ids, steps, True)
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"prompt {i} diverged")
+
+
+def test_stream_int8_cache_matches_solo_int8(setup):
+    """Scheduler invariance holds per cache format: streamed prompts
+    with cache_format='int8' equal solo generate(cache_format='int8')
+    bitwise (the scheduler changes WHEN rows compute, never WHAT)."""
+    from qutlass_tpu.models import generate
+
+    cfg, params, qparams, h = setup
+    rng = np.random.default_rng(16)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 9)), 5)
+               for _ in range(4)]
+    cb = ContinuousBatcher(cfg, qparams, h, n_slots=2, max_len=64,
+                           quantized=True, cache_format="int8")
+    assert cb.cache[0]["k"].dtype == jnp.int8
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        prompt = jnp.asarray(np.asarray(ids, np.int32)[None])
+        ref = np.asarray(generate(cfg, qparams, prompt, h, steps=steps,
+                                  max_len=64, quantized=True, pad_id=-1,
+                                  cache_format="int8"))[0]
+        np.testing.assert_array_equal(outs[i], ref,
+                                      err_msg=f"prompt {i} diverged")

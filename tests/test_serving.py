@@ -258,3 +258,47 @@ def test_prefill_chunked_validates():
     with pytest.raises(ValueError, match="lengths"):
         prefill_chunked(cfg, params, toks, h, max_len=16, chunk=4,
                         lengths=jnp.asarray([0]))
+
+
+def test_int8_kv_cache_roundtrip_bound():
+    """KV int8 quantization: |dequant - x| <= rowmax/254 per element
+    (symmetric per-(position, head) scales)."""
+    from qutlass_tpu.models.serving import _kv_dequantize, _kv_quantize
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 7, 3, 64)) * 5, jnp.bfloat16)
+    q, s = _kv_quantize(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 7, 3)
+    deq = np.asarray(_kv_dequantize(q, s))
+    xf = np.asarray(x, np.float32)
+    bound = np.abs(xf).max(axis=-1, keepdims=True) / 254 * (1 + 1e-6)
+    assert (np.abs(deq - xf) <= bound).all()
+
+
+def test_int8_kv_cache_generation_quality():
+    """generate with cache_format='int8' stays at quality: per-step
+    teacher-forced decode logits cosine > 0.99 vs the bf16 cache."""
+    cfg, params, h = _setup(False)
+    toks = jax.random.randint(jax.random.PRNGKey(15), (2, 6), 0,
+                              cfg.vocab_size)
+    lb, cb = prefill(cfg, params, toks[:, :4], h, max_len=12)
+    li, ci = prefill(cfg, params, toks[:, :4], h, max_len=12,
+                     cache_format="int8")
+    assert ci[0]["k"].dtype == jnp.int8
+
+    def cos(a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+
+    assert cos(lb, li) > 0.99, cos(lb, li)
+    for p in range(4, 6):
+        lb, cb = decode_step(cfg, params, cb, toks[:, p], jnp.int32(p), h)
+        li, ci = decode_step(cfg, params, ci, toks[:, p], jnp.int32(p), h)
+        assert cos(lb, li) > 0.99, (p, cos(lb, li))
+
+    # full generate runs end-to-end on the int8 cache
+    out = generate(cfg, params, toks, h, steps=4, max_len=16,
+                   cache_format="int8")
+    assert out.shape == (2, 4)
+    assert np.isfinite(np.asarray(out)).all()
