@@ -122,10 +122,17 @@ def shard_params(cfg: ModelConfig, params, mesh: Mesh, *,
         specs, params, is_leaf=lambda s: isinstance(s, P))
 
 
-def _cache_spec(cfg: ModelConfig, axis: str):
-    # cache k/v: [B, L, kv_heads, head_dim], heads sharded
+def _cache_spec(cfg: ModelConfig, axis: str, fmt: str = "bf16"):
+    # cache k/v: [B, L, kv_heads, head_dim], heads sharded; the int8
+    # format adds per-(position, head) scale planes ks/vs [B, L, KVH]
     one = {"k": P(None, None, axis, None), "v": P(None, None, axis, None)}
+    if fmt == "int8":
+        one.update(ks=P(None, None, axis), vs=P(None, None, axis))
     return [dict(one) for _ in range(cfg.num_layers)]
+
+
+def _cache_fmt(cache) -> str:
+    return "int8" if "ks" in cache[0] else "bf16"
 
 
 def _run_blocks(scfg, params, x, caches, start_pos, h, method, quantized,
@@ -142,11 +149,12 @@ def _run_blocks(scfg, params, x, caches, start_pos, h, method, quantized,
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",
                                              "max_len", "quantized",
                                              "method", "specs_fn",
-                                             "mlp_factory"))
+                                             "mlp_factory", "cache_format"))
 def tp_prefill(cfg: ModelConfig, params, tokens, h, mesh: Mesh, *,
                max_len: int, quantized: bool = True,
                method: str = "quest", axis: str = "tp",
-               specs_fn=None, mlp_factory=None, lengths=None):
+               specs_fn=None, mlp_factory=None, lengths=None,
+               cache_format: str = "bf16"):
     """Sharded prefill: tokens [B, T] -> (logits [B, vocab], sharded cache).
 
     ``specs_fn(cfg, quantized, axis)`` / ``mlp_factory(cfg, axis)`` let
@@ -166,10 +174,10 @@ def tp_prefill(cfg: ModelConfig, params, tokens, h, mesh: Mesh, *,
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs,
-        out_specs=(P(None, None), _cache_spec(cfg, axis)),
+        out_specs=(P(None, None), _cache_spec(cfg, axis, cache_format)),
         check_rep=False)
     def run(p, toks, *ln):
-        cache = init_cache(scfg, b, max_len)
+        cache = init_cache(scfg, b, max_len, cache_format)
         x = p["embed"][toks]
         x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
                                axis, mlp=mlp)
@@ -195,11 +203,12 @@ def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
     specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
     pspec = P() if jnp.ndim(pos) == 0 else P(None)
+    cspec = _cache_spec(cfg, axis, _cache_fmt(cache))
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(specs, _cache_spec(cfg, axis), P(None), pspec),
-        out_specs=(P(None, None), _cache_spec(cfg, axis)),
+        in_specs=(specs, cspec, P(None), pspec),
+        out_specs=(P(None, None), cspec),
         check_rep=False)
     def run(p, cache, tok, ps):
         x = p["embed"][tok][:, None]
@@ -286,10 +295,12 @@ def tp_prefill_step(cfg: ModelConfig, params, cache, tokens, start_pos, h,
     specs = (specs_fn or param_specs)(cfg, quantized, axis, params)
     mlp = mlp_factory(cfg, axis) if mlp_factory else None
 
+    cspec = _cache_spec(cfg, axis, _cache_fmt(cache))
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(specs, _cache_spec(cfg, axis), P(None, None), P()),
-        out_specs=(P(None, None, None), _cache_spec(cfg, axis)),
+        in_specs=(specs, cspec, P(None, None), P()),
+        out_specs=(P(None, None, None), cspec),
         check_rep=False)
     def run(p, cache, toks, ps):
         x = p["embed"][toks]
@@ -314,16 +325,17 @@ class TPEngine:
     def __init__(self, cfg: ModelConfig, params, h, mesh: Mesh, *,
                  axis: str = "tp", quantized: bool = True,
                  method: str = "quest", specs_fn=None, mlp_factory=None,
-                 chunk: int | None = None):
+                 chunk: int | None = None, cache_format: str = "bf16"):
         self.cfg, self.params, self.h = cfg, params, h
         self.mesh, self.axis = mesh, axis
         self.chunk = chunk
+        self.cache_format = cache_format
         self.kw = dict(quantized=quantized, method=method, axis=axis,
                        specs_fn=specs_fn, mlp_factory=mlp_factory)
 
     def init_cache(self, n: int, max_len: int):
-        cache = init_cache(self.cfg, n, max_len)
-        spec = _cache_spec(self.cfg, self.axis)
+        cache = init_cache(self.cfg, n, max_len, self.cache_format)
+        spec = _cache_spec(self.cfg, self.axis, self.cache_format)
         return jax.tree.map(
             lambda s, x: jax.device_put(x, NamedSharding(self.mesh, s)),
             spec, cache, is_leaf=lambda s: isinstance(s, P))
@@ -345,7 +357,8 @@ class TPEngine:
             # the logits run outside the shard_map on global arrays
             return _logits_jit(self.cfg, self.params, last), cache
         return tp_prefill(self.cfg, self.params, tokens, self.h, self.mesh,
-                          max_len=max_len, lengths=length, **self.kw)
+                          max_len=max_len, lengths=length,
+                          cache_format=self.cache_format, **self.kw)
 
     def prefill_from(self, cache, tokens, start: int, max_len: int):
         """Continue prefill of a suffix [1, T'] from position ``start``
