@@ -82,9 +82,11 @@ class LocalEngine:
 
     def prefill(self, tokens, length, max_len: int):
         if self.chunk:
-            t = int(np.asarray(length)[0])
+            lnp = np.asarray(length)
+            t = int(lnp.max())
             return prefill_chunked(self.cfg, self.params, tokens[:, :t],
                                    self.h, max_len=max_len, chunk=self.chunk,
+                                   lengths=jnp.asarray(lnp, jnp.int32),
                                    cache_format=self.cache_format, **self.kw)
         return _prefill_one(self.cfg, self.params, tokens, length, self.h,
                             max_len=max_len,
@@ -133,7 +135,8 @@ class ContinuousBatcher:
     def __init__(self, cfg: ModelConfig = None, params=None, h=None, *,
                  n_slots: int, max_len: int, quantized: bool = False,
                  method: str = "quest", mlp=None, engine=None,
-                 chunk: int | None = None, cache_format: str = "bf16"):
+                 chunk: int | None = None, cache_format: str = "bf16",
+                 admit_batch: bool = False):
         if engine is not None and chunk is not None:
             raise ValueError(
                 "pass chunk to the engine's own constructor "
@@ -149,6 +152,7 @@ class ContinuousBatcher:
         self.pos = jnp.zeros((n_slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(n_slots)]
         self._prefix = None
+        self.admit_batch = admit_batch
 
     # ---------------------------------------------------------- prefix cache
     def set_prefix(self, ids) -> None:
@@ -167,39 +171,82 @@ class ContinuousBatcher:
             self.max_len)
         self._prefix = (ids, logits, cache)
 
-    def _prefill_admit(self, ids: np.ndarray):
-        """(logits [1,V], cache-1row) for a prompt, via the prefix cache
-        when the prompt starts with the registered prefix."""
-        t = len(ids)
-        if self._prefix is not None:
-            pids, plogits, pcache = self._prefix
-            L = len(pids)
-            if t >= L and np.array_equal(ids[:L], pids):
-                if t == L:
-                    return plogits, pcache
-                return self.engine.prefill_from(
-                    pcache, jnp.asarray(ids[None, L:]), L, self.max_len)
-        # the prefill block may not exceed the cache length (the slice
-        # update in serving._block requires update <= operand)
-        tb = min(_bucket(t), self.max_len)
-        padded = np.zeros((1, tb), np.int32)
-        padded[0, :t] = ids
-        return self.engine.prefill(
-            jnp.asarray(padded), jnp.asarray([t], jnp.int32), self.max_len)
+    def _matches_prefix(self, ids: np.ndarray) -> bool:
+        if self._prefix is None:
+            return False
+        pids = self._prefix[0]
+        return len(ids) >= len(pids) and np.array_equal(ids[: len(pids)],
+                                                        pids)
+
+    def _install(self, slots_idx, pids, lens, steps, logits, cache, rows):
+        """Splice ``rows`` of a prefill's cache/logits into ``slots_idx``
+        (one scatter per cache leaf, however many prompts admitted)."""
+        idx = jnp.asarray(slots_idx, jnp.int32)
+        rsel = jnp.asarray(rows, jnp.int32)
+        firsts = jnp.argmax(logits[rsel], axis=-1).astype(jnp.int32)
+        # splice the tenants' cache rows into the batch cache (every
+        # leaf — the int8 cache format carries ks/vs scale planes too)
+        for l, (cl, c1) in enumerate(zip(self.cache, cache)):
+            self.cache[l] = {kk: cl[kk].at[idx].set(c1[kk][rsel])
+                             for kk in cl}
+        self.token = self.token.at[idx].set(firsts)
+        self.pos = self.pos.at[idx].set(jnp.asarray(lens, jnp.int32))
+        for slot, pid, st in zip(slots_idx, pids, steps):
+            self.slots[slot] = _Slot(pid, st, False)
 
     # ------------------------------------------------------------- admission
-    def _admit(self, slot: int, prompt_id: int, ids: np.ndarray, steps: int):
-        t = len(ids)
-        logits, cache1 = self._prefill_admit(ids)
-        first = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-        # splice the tenant's cache rows into the batch cache (every
-        # leaf — the int8 cache format carries ks/vs scale planes too)
-        for l, (cl, c1) in enumerate(zip(self.cache, cache1)):
-            self.cache[l] = {kk: cl[kk].at[slot].set(c1[kk][0])
-                             for kk in cl}
-        self.token = self.token.at[slot].set(first)
-        self.pos = self.pos.at[slot].set(t)
-        self.slots[slot] = _Slot(prompt_id, steps, False)
+    def _admit_batch(self, admits):
+        """Admit ``[(slot, prompt_id, ids, steps), ...]``.  Prefix-cache
+        hits continue individually from the shared rows.  With
+        ``admit_batch=True`` everything else prefills as ONE ragged
+        batch — a single device dispatch however many slots freed
+        together (dispatch overhead through the remote tunnel is
+        ~30 ms each); the batch-shaped final logits dot rounds
+        differently at the fp32 ulp level than a solo run's, so greedy
+        first tokens can flip where the top-2 margin is below ~1e-6 —
+        hence OPT-IN, the default admits per prompt and keeps stream
+        outputs bitwise-equal to solo generation."""
+        plain = []
+        for slot, pid, ids, steps in admits:
+            if not self.admit_batch and not self._matches_prefix(ids):
+                # bitwise mode (default): each prompt prefills alone, so
+                # its logits come from the same-M program as a solo run
+                plain.append((slot, pid, ids, steps))
+                continue
+            if self._matches_prefix(ids):
+                pids, plogits, pcache = self._prefix
+                L = len(pids)
+                if len(ids) == L:
+                    logits, cache1 = plogits, pcache
+                else:
+                    logits, cache1 = self.engine.prefill_from(
+                        pcache, jnp.asarray(ids[None, L:]), L, self.max_len)
+                self._install([slot], [pid], [len(ids)], [steps], logits,
+                              cache1, rows=[0])
+            else:
+                plain.append((slot, pid, ids, steps))
+        if not plain:
+            return
+        if not self.admit_batch:
+            for item in plain:
+                self._admit_plain([item])
+            return
+        self._admit_plain(plain)
+
+    def _admit_plain(self, plain):
+        k = len(plain)
+        # the prefill block may not exceed the cache length (the slice
+        # update in serving._block requires update <= operand)
+        tb = min(_bucket(max(len(i) for _, _, i, _ in plain)), self.max_len)
+        toks = np.zeros((k, tb), np.int32)
+        lens = np.zeros((k,), np.int32)
+        for r, (_, _, ids, _) in enumerate(plain):
+            toks[r, : len(ids)] = ids
+            lens[r] = len(ids)
+        logits, cache = self.engine.prefill(
+            jnp.asarray(toks), jnp.asarray(lens), self.max_len)
+        self._install([p[0] for p in plain], [p[1] for p in plain], lens,
+                      [p[3] for p in plain], logits, cache, rows=range(k))
 
     # ------------------------------------------------------------------ step
     def _step(self):
@@ -238,11 +285,15 @@ class ContinuousBatcher:
         queue = list(enumerate(prompts))
         outputs: dict[int, list] = {i: [] for i in range(len(prompts))}
         while queue or any(s.remaining > 0 for s in self.slots):
-            # fill free slots
+            # fill free slots — all of this round's admissions prefill
+            # as one batched dispatch
+            admits = []
             for i, s in enumerate(self.slots):
                 if s.remaining <= 0 and queue:
                     pid, (ids, steps) = queue.pop(0)
-                    self._admit(i, pid, np.asarray(ids, np.int32), steps)
+                    admits.append((i, pid, np.asarray(ids, np.int32), steps))
+            if admits:
+                self._admit_batch(admits)
             tokens = self._step()
             for i, s in enumerate(self.slots):
                 if s.remaining > 0:

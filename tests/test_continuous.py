@@ -298,3 +298,41 @@ def test_stream_int8_cache_matches_solo_int8(setup):
                                   cache_format="int8"))[0]
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"prompt {i} diverged")
+
+
+def test_admit_batch_mode_margin_contract(setup):
+    """admit_batch=True prefills all of a round's admissions as one
+    ragged dispatch.  The batch-shaped logits dot rounds differently at
+    the fp32 ulp level than solo, so greedy tokens may flip ONLY where
+    the decision margin is ulp-thin: every divergence from solo must be
+    justified by a sub-1e-4 top-2 margin at the divergence point."""
+    from qutlass_tpu.models import decode_step, prefill
+
+    cfg, params, qparams, h = setup
+    rng = np.random.default_rng(23)
+    prompts = [(rng.integers(0, cfg.vocab_size, rng.integers(3, 17)), 5)
+               for _ in range(6)]
+    cb = ContinuousBatcher(cfg, qparams, h, n_slots=3, max_len=64,
+                           quantized=True, admit_batch=True)
+    outs = cb.run(prompts)
+    for i, (ids, steps) in enumerate(prompts):
+        ref = _solo(cfg, qparams, h, ids, steps, True)
+        got = outs[i]
+        if np.array_equal(got, ref):
+            continue
+        j = int(np.argwhere(got != ref)[0])
+        # replay solo to the divergence point and check its margin
+        prompt = jnp.asarray(np.asarray(ids, np.int32)[None])
+        logits, cache = prefill(cfg, qparams, prompt, h, max_len=64,
+                                quantized=True)
+        pos = len(ids)
+        for k in range(j):
+            logits, cache = decode_step(cfg, qparams, cache,
+                                        jnp.asarray([ref[k]], jnp.int32),
+                                        jnp.int32(pos + k), h,
+                                        quantized=True)
+        top2 = np.sort(np.asarray(logits, np.float32).ravel())[-2:]
+        margin = float(top2[1] - top2[0])
+        assert margin < 1e-4, (
+            f"prompt {i} diverged at step {j} with margin {margin:.3e} "
+            "— not explainable by batch-shape ulp rounding")
