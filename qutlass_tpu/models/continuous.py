@@ -153,6 +153,10 @@ class ContinuousBatcher:
         self.slots = [_Slot() for _ in range(n_slots)]
         self._prefix = None
         self.admit_batch = admit_batch
+        # run() resets this; see run()'s docstring
+        self.metrics = {"decode_steps": 0, "prefill_dispatches": 0,
+                        "prefix_hits": 0, "tokens_out": 0,
+                        "occupancy_sum": 0, "wall_s": 0.0}
 
     # ---------------------------------------------------------- prefix cache
     def set_prefix(self, ids) -> None:
@@ -214,11 +218,13 @@ class ContinuousBatcher:
                 plain.append((slot, pid, ids, steps))
                 continue
             if self._matches_prefix(ids):
+                self.metrics["prefix_hits"] += 1
                 pids, plogits, pcache = self._prefix
                 L = len(pids)
                 if len(ids) == L:
                     logits, cache1 = plogits, pcache
                 else:
+                    self.metrics["prefill_dispatches"] += 1
                     logits, cache1 = self.engine.prefill_from(
                         pcache, jnp.asarray(ids[None, L:]), L, self.max_len)
                 self._install([slot], [pid], [len(ids)], [steps], logits,
@@ -234,6 +240,7 @@ class ContinuousBatcher:
         self._admit_plain(plain)
 
     def _admit_plain(self, plain):
+        self.metrics["prefill_dispatches"] += 1
         k = len(plain)
         # the prefill block may not exceed the cache length (the slice
         # update in serving._block requires update <= operand)
@@ -282,8 +289,16 @@ class ContinuousBatcher:
                     f"{len(ids)} to {-(-len(ids) // chunk) * chunk} "
                     f"(> max_len {self.max_len}); use a chunk that "
                     f"divides max_len or a longer cache")
+        import time
+
         queue = list(enumerate(prompts))
         outputs: dict[int, list] = {i: [] for i in range(len(prompts))}
+        t0 = time.perf_counter()
+        m = self.metrics = {"decode_steps": 0, "prefill_dispatches": 0,
+                            "prefix_hits": 0, "tokens_out": 0,
+                            "occupancy_sum": 0, "wall_s": 0.0}
+        # (per-run counters: dispatches, prefix hits, tokens/s, mean
+        # slot occupancy — read self.metrics after run() returns)
         while queue or any(s.remaining > 0 for s in self.slots):
             # fill free slots — all of this round's admissions prefill
             # as one batched dispatch
@@ -295,11 +310,19 @@ class ContinuousBatcher:
             if admits:
                 self._admit_batch(admits)
             tokens = self._step()
+            m["decode_steps"] += 1
+            m["occupancy_sum"] += sum(s.remaining > 0 and not s.done
+                                      for s in self.slots)
             for i, s in enumerate(self.slots):
                 if s.remaining > 0:
                     if not s.done:
                         outputs[s.prompt_id].append(int(tokens[i]))
+                        m["tokens_out"] += 1
                         if eos_id is not None and tokens[i] == eos_id:
                             s.done = True
                     s.remaining -= 1 if not s.done else s.remaining
+        m["wall_s"] = time.perf_counter() - t0
+        m["tokens_per_s"] = m["tokens_out"] / max(m["wall_s"], 1e-9)
+        m["mean_occupancy"] = (m["occupancy_sum"]
+                               / max(m["decode_steps"], 1)) / self.n
         return [np.asarray(outputs[i], np.int32) for i in range(len(prompts))]

@@ -336,3 +336,32 @@ def test_admit_batch_mode_margin_contract(setup):
         assert margin < 1e-4, (
             f"prompt {i} diverged at step {j} with margin {margin:.3e} "
             "— not explainable by batch-shape ulp rounding")
+
+
+def test_run_metrics(setup):
+    """run() records dispatch/throughput counters: batched admission
+    collapses a round's prefills into one dispatch, prefix hits are
+    counted, occupancy is a [0, 1] fraction."""
+    cfg, params, qparams, h = setup
+    rng = np.random.default_rng(24)
+    prompts = [(rng.integers(0, cfg.vocab_size, 5), 3) for _ in range(4)]
+
+    cb = ContinuousBatcher(cfg, params, h, n_slots=2, max_len=32)
+    cb.run(prompts)
+    m1 = cb.metrics
+    assert m1["prefill_dispatches"] == 4          # per-prompt (default)
+    assert m1["tokens_out"] == 12
+    assert 0 < m1["mean_occupancy"] <= 1
+    assert m1["tokens_per_s"] > 0
+
+    cbb = ContinuousBatcher(cfg, params, h, n_slots=2, max_len=32,
+                            admit_batch=True)
+    cbb.run(prompts)
+    assert cbb.metrics["prefill_dispatches"] < 4  # rounds batched
+
+    cbp = ContinuousBatcher(cfg, params, h, n_slots=2, max_len=32)
+    cbp.set_prefix(prompts[0][0][:3])
+    cbp.run([(np.concatenate([prompts[0][0][:3], [5, 7]]), 3),
+             (prompts[0][0][:3].copy(), 3)])
+    assert cbp.metrics["prefix_hits"] == 2
+    assert cbp.metrics["prefill_dispatches"] == 1  # one suffix, one reuse
