@@ -172,3 +172,72 @@ def moe_mlp_ep(x, router_w, w1_stack, w2_stack, h, *, axis: str,
     back = back.reshape(n_experts, capacity, d)
     y = jnp.einsum("mec,ecd->md", dispatch, back)
     return (y * gate[:, None]).astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1 data parallelism (sharded optimizer state)
+# ---------------------------------------------------------------------------
+
+def zero_adam_init(params, axis: str):
+    """Adam state for :func:`zero_adam_step`, sharded 1/dp per rank.
+
+    Inside shard_map over ``axis``: each rank holds only its shard of
+    the first/second moments (the ZeRO-1 memory property — optimizer
+    state is the dominant training-state term at 2x fp32 per param).
+    """
+    n = lax.psum(1, axis)
+
+    def per(p):
+        k = -(-p.size // n)
+        return jnp.zeros((k,), jnp.float32)
+
+    return {"m": jax.tree.map(per, params),
+            "v": jax.tree.map(per, params),
+            "t": jnp.zeros((), jnp.int32)}
+
+
+def zero_adam_step(params, grads, state, *, axis: str, lr: float,
+                   b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """One ZeRO-1 Adam step inside shard_map over the dp ``axis``.
+
+    ``params`` replicated per rank, ``grads`` the rank's local
+    microbatch gradients, ``state`` from :func:`zero_adam_init`.  The
+    classic allreduce decomposes into its two halves around the
+    optimizer: ``psum_scatter`` averages the gradients AND hands each
+    rank only its 1/dp shard; the Adam moments and the fp32 update run
+    on that shard alone; ``all_gather`` rebuilds the full (replicated)
+    parameters.  Same arithmetic per element as replicated Adam on the
+    psum-mean gradient — only the optimizer memory changes (1/dp).
+
+    Returns ``(new_params, new_state)``; params keep their dtype (fp32
+    master-update then cast, matching the dryrun training step).
+    """
+    n = lax.psum(1, axis)
+    r = lax.axis_index(axis)
+    t = state["t"] + 1
+    bc1 = 1.0 - b1 ** t.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** t.astype(jnp.float32)
+
+    def per(p, g, m, v):
+        k = m.shape[0]
+        gflat = jnp.pad(g.reshape(-1).astype(jnp.float32),
+                        (0, k * n - g.size))
+        gs = lax.psum_scatter(gflat, axis, scatter_dimension=0,
+                              tiled=True) / n
+        m2 = b1 * m + (1.0 - b1) * gs
+        v2 = b2 * v + (1.0 - b2) * gs * gs
+        upd = lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+        pflat = jnp.pad(p.reshape(-1).astype(jnp.float32),
+                        (0, k * n - p.size))
+        ps = lax.dynamic_slice_in_dim(pflat, r * k, k) - upd
+        pnew = lax.all_gather(ps, axis, tiled=True)[: p.size]
+        return pnew.reshape(p.shape).astype(p.dtype), m2, v2
+
+    out = jax.tree.map(per, params, grads, state["m"], state["v"])
+    new_params = jax.tree.map(lambda o: o[0], out,
+                              is_leaf=lambda o: isinstance(o, tuple))
+    new_m = jax.tree.map(lambda o: o[1], out,
+                         is_leaf=lambda o: isinstance(o, tuple))
+    new_v = jax.tree.map(lambda o: o[2], out,
+                         is_leaf=lambda o: isinstance(o, tuple))
+    return new_params, {"m": new_m, "v": new_v, "t": t}

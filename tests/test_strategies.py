@@ -125,3 +125,73 @@ def test_moe_ep_runs_and_matches_local():
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_zero_adam_matches_replicated():
+    """ZeRO-1 Adam (psum_scatter grads -> shard-local moments ->
+    all_gather params) must reproduce replicated Adam on the mean
+    gradient exactly; optimizer state per rank is 1/dp-sized."""
+    from functools import partial
+
+    from qutlass_tpu.parallel.compat import shard_map
+    from qutlass_tpu.parallel.sharding import make_mesh
+    from qutlass_tpu.parallel.strategies import (zero_adam_init,
+                                                 zero_adam_step)
+
+    if jax.device_count() < 4:
+        pytest.skip("needs a 4-device mesh")
+    mesh = make_mesh({"dp": 4})
+    P = jax.sharding.PartitionSpec
+    key = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(key, (13, 7)).astype(jnp.bfloat16),
+              "b": jax.random.normal(key, (5,)).astype(jnp.float32)}
+    # per-rank local grads: [dp, ...] sharded on the leading axis
+    gkey = jax.random.PRNGKey(1)
+    gw = jax.random.normal(gkey, (4, 13, 7)).astype(jnp.float32)
+    gb = jax.random.normal(gkey, (4, 5)).astype(jnp.float32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=({"w": P(None, None), "b": P(None)},
+                       {"w": P("dp"), "b": P("dp")}),
+             out_specs=({"w": P(None, None), "b": P(None)},
+                        {"m": {"w": P("dp"), "b": P("dp")},
+                         "v": {"w": P("dp"), "b": P("dp")}, "t": P()}),
+             check_rep=False)
+    def two_steps(p, g):
+        st = zero_adam_init(p, "dp")
+        g_local = jax.tree.map(lambda x: x[0], g)
+        p, st = zero_adam_step(p, g_local, st, axis="dp", lr=1e-2)
+        p, st = zero_adam_step(p, jax.tree.map(lambda x: 2 * x, g_local),
+                               st, axis="dp", lr=1e-2)
+        return p, st
+
+    newp, st = two_steps(params, {"w": gw, "b": gb})
+    # optimizer state leaves are 1/dp per rank (global shape = padded)
+    assert st["m"]["w"].shape[0] * 1 == -(-91 // 4) * 4  # padded to dp
+    # replicated reference: plain Adam on the mean gradient, fp32
+    def ref_adam(p, gs, steps=2):
+        import ml_dtypes
+        m = {k: np.zeros(v.size) for k, v in p.items()}
+        v_ = {k: np.zeros(val.size) for k, val in p.items()}
+        out = {k: np.asarray(p[k], np.float32).reshape(-1) for k in p}
+        for t in range(1, steps + 1):
+            for k in p:
+                g = np.asarray(gs[k], np.float32).mean(axis=0).reshape(-1) * t
+                m[k] = 0.9 * m[k] + 0.1 * g
+                v_[k] = 0.999 * v_[k] + 0.001 * g * g
+                upd = 1e-2 * (m[k] / (1 - 0.9 ** t)) / \
+                    (np.sqrt(v_[k] / (1 - 0.999 ** t)) + 1e-8)
+                out[k] = out[k] - upd.astype(np.float32)
+                # params round to their dtype after every step
+                out[k] = out[k].astype(
+                    np.asarray(p[k]).dtype).astype(np.float32)
+        return out
+
+    ref = ref_adam(params, {"w": gw, "b": gb})
+    np.testing.assert_allclose(
+        np.asarray(newp["w"], np.float32).reshape(-1),
+        ref["w"].astype(np.float32).astype(
+            np.asarray(params["w"]).dtype).astype(np.float32),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(newp["b"]).reshape(-1), ref["b"],
+                               rtol=1e-5, atol=1e-6)
