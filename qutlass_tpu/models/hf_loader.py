@@ -92,7 +92,10 @@ def params_from_hf_state_dict(cfg: ModelConfig,
 
 
 def moe_config_from_hf(hf_config: Mapping):
-    """Build a MoeConfig from an HF qwen3_moe config dict."""
+    """Build a MoeConfig from an HF MoE config dict (qwen3_moe or
+    mixtral — Mixtral's softmax-over-top-k-logits gating is the same
+    function as our softmax-then-renormalize-over-picks, so only the
+    config/tensor naming differs)."""
     from .moe import MoeConfig
 
     if hf_config.get("mlp_only_layers") or \
@@ -103,6 +106,13 @@ def moe_config_from_hf(hf_config: Mapping):
     import dataclasses
 
     base = config_from_hf(hf_config)
+    if hf_config.get("model_type") == "mixtral" or \
+            "num_local_experts" in hf_config:
+        return MoeConfig(
+            **dataclasses.asdict(base),
+            n_experts=hf_config["num_local_experts"],
+            top_k=hf_config["num_experts_per_tok"],
+            moe_intermediate=hf_config["intermediate_size"])
     return MoeConfig(
         **dataclasses.asdict(base),
         n_experts=hf_config["num_experts"],
@@ -112,18 +122,28 @@ def moe_config_from_hf(hf_config: Mapping):
 
 def moe_params_from_hf_state_dict(cfg, state: Mapping[str, np.ndarray],
                                   dtype=jnp.bfloat16):
-    """Convert an HF qwen3_moe state dict to the MoE params pytree.
+    """Convert an HF MoE state dict to the MoE params pytree.
 
     Attention/norm tensors map as in the dense family; per layer the
-    router is ``mlp.gate.weight`` ([E, D] -> stored [D, E] f32) and the
-    per-expert ``mlp.experts.{e}.{gate,up,down}_proj.weight`` stack to
+    router is ``{mlp,block_sparse_moe}.gate.weight`` ([E, D] -> stored
+    [D, E] f32) and the per-expert projections stack to
     ``expert_{gate,up,down}`` [E, ...] (the init_params layout).
+    Naming scheme auto-detected: qwen3_moe uses
+    ``mlp.experts.{e}.{gate,up,down}_proj.weight``; mixtral uses
+    ``block_sparse_moe.experts.{e}.{w1,w3,w2}.weight`` (w1=gate,
+    w3=up, w2=down).
     """
     def get(k, dt=dtype):
         if k not in state:
             raise KeyError(f"missing checkpoint tensor: {k}")
         return jnp.asarray(np.asarray(state[k]), dt)
 
+    mixtral = any(".block_sparse_moe." in k for k in state)
+    moe_pre = "block_sparse_moe." if mixtral else "mlp."
+    proj_map = ((("w1", "expert_gate"), ("w3", "expert_up"),
+                 ("w2", "expert_down")) if mixtral else
+                (("gate_proj", "expert_gate"), ("up_proj", "expert_up"),
+                 ("down_proj", "expert_down")))
     layers = []
     for i in range(cfg.num_layers):
         prefix = f"model.layers.{i}."
@@ -134,12 +154,11 @@ def moe_params_from_hf_state_dict(cfg, state: Mapping[str, np.ndarray],
             if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
                 continue
             layer[ours] = get(prefix + hf_name)
-        layer["router"] = get(prefix + "mlp.gate.weight", jnp.float32).T
-        for proj, ours in (("gate_proj", "expert_gate"),
-                           ("up_proj", "expert_up"),
-                           ("down_proj", "expert_down")):
+        layer["router"] = get(prefix + moe_pre + "gate.weight",
+                              jnp.float32).T
+        for proj, ours in proj_map:
             layer[ours] = jnp.stack([
-                get(f"{prefix}mlp.experts.{e}.{proj}.weight")
+                get(f"{prefix}{moe_pre}experts.{e}.{proj}.weight")
                 for e in range(cfg.n_experts)])
         layers.append(layer)
 
@@ -324,7 +343,8 @@ def load_model(path: str, *, quantize: bool = False, h=None,
     loads through :func:`quantized_params_from_hf_state_dict` instead;
     ``quantize``/``method``/``fmt`` are ignored for it.
 
-    ``model_type="qwen3_moe"`` checkpoints route to the MoE family
+    ``model_type="qwen3_moe"`` / ``"mixtral"`` checkpoints route to
+    the MoE family
     (:func:`moe_params_from_hf_state_dict`; quantization via
     ``models.moe.quantize_model_weights``).
     """
@@ -335,7 +355,8 @@ def load_model(path: str, *, quantize: bool = False, h=None,
         hf_cfg = json.load(f)
     state = load_safetensors_dir(path)
 
-    moe = hf_cfg.get("model_type") == "qwen3_moe" or "num_experts" in hf_cfg
+    moe = (hf_cfg.get("model_type") in ("qwen3_moe", "mixtral")
+           or "num_experts" in hf_cfg or "num_local_experts" in hf_cfg)
     prequantized = any(k.endswith(".weight_packed") for k in state)
     qc = hf_cfg.get("quantization_config")
     if qc and not prequantized:

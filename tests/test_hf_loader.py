@@ -496,3 +496,79 @@ def test_load_model_llama_style_tied(tmp_path):
                               cfg.vocab_size)
     out = forward(lcfg, params, toks)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_load_model_mixtral(tmp_path):
+    """Mixtral checkpoint: block_sparse_moe naming (gate router,
+    experts.{e}.{w1,w3,w2}) maps onto the MoE tree; the gating math is
+    already identical (softmax over top-k logits == softmax-then-
+    renormalize over the picks).  Forward runs bf16 and quantized."""
+    import json
+
+    safetensors = pytest.importorskip("safetensors.numpy")
+    from qutlass_tpu.models import moe
+    from qutlass_tpu.models.hf_loader import load_model
+
+    base = moe.tiny_moe_config()
+    import dataclasses
+    cfg = dataclasses.replace(base, qk_norm=False,
+                              moe_intermediate=base.moe_intermediate)
+    rng = np.random.default_rng(2)
+    state = _fake_state(cfg)
+    for i in range(cfg.num_layers):
+        for k in ("gate_proj", "up_proj", "down_proj"):
+            del state[f"model.layers.{i}.mlp.{k}.weight"]
+        for k in list(state):
+            if f"model.layers.{i}.self_attn.q_norm" in k or \
+                    f"model.layers.{i}.self_attn.k_norm" in k:
+                del state[k]
+        p = f"model.layers.{i}.block_sparse_moe."
+        state[p + "gate.weight"] = rng.standard_normal(
+            (cfg.n_experts, cfg.hidden_size)).astype(np.float32) * 0.1
+        for e in range(cfg.n_experts):
+            ep = f"{p}experts.{e}."
+            state[ep + "w1.weight"] = rng.standard_normal(
+                (cfg.moe_intermediate, cfg.hidden_size)
+            ).astype(np.float32) * 0.02
+            state[ep + "w3.weight"] = rng.standard_normal(
+                (cfg.moe_intermediate, cfg.hidden_size)
+            ).astype(np.float32) * 0.02
+            state[ep + "w2.weight"] = rng.standard_normal(
+                (cfg.hidden_size, cfg.moe_intermediate)
+            ).astype(np.float32) * 0.02
+    safetensors.save_file(state, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "model_type": "mixtral",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.moe_intermediate,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": False,
+        "num_local_experts": cfg.n_experts,
+        "num_experts_per_tok": cfg.top_k,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    lcfg, params = load_model(str(tmp_path))
+    assert lcfg.n_experts == cfg.n_experts and lcfg.top_k == cfg.top_k
+    assert not lcfg.qk_norm
+    assert lcfg.moe_intermediate == cfg.moe_intermediate
+    assert params["layers"][0]["expert_up"].shape == (
+        cfg.n_experts, cfg.moe_intermediate, cfg.hidden_size)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0,
+                              cfg.vocab_size)
+    out = moe.forward(lcfg, params, toks)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    from helpers import bf16_hadamard
+    h = bf16_hadamard(32)
+    qcfg, qparams = load_model(str(tmp_path), quantize=True, h=h)
+    assert "wi8" in qparams["layers"][0]["expert_gate"][0] or \
+        "wqt" in qparams["layers"][0]["expert_gate"][0]
+    qout = moe.forward(qcfg, qparams, toks, h, quantized=True)
+    assert np.isfinite(np.asarray(qout, np.float32)).all()
