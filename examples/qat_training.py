@@ -28,18 +28,12 @@ import jax.numpy as jnp
 import optax
 
 from qutlass_tpu.nn import quartet_linear
-
-
-def hadamard(n):
-    h = np.array([[1.0]])
-    while h.shape[0] < n:
-        h = np.block([[h, h], [h, -h]])
-    return jnp.asarray(h * n ** -0.5, jnp.bfloat16)
+from qutlass_tpu.utils import hadamard_matrix
 
 
 def main(grad_mode: str = "int8", steps: int = 40):
     d_in, d_hidden, d_out, batch = 256, 512, 256, 128
-    h = hadamard(32)
+    h = hadamard_matrix(32)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     params = {

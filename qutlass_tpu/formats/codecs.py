@@ -166,6 +166,9 @@ def e2m1_decode_scaled_bf16(codes: jax.Array, scale_bytes: jax.Array) -> jax.Arr
     hi = jnp.where(x >= 255, 255 << 7, norm)       # overflow -> inf
     bits = jnp.where(mag == 0, 0, jnp.where(x > 0, hi, subn))
     bits = bits | ((codes & 8) << 12)              # sign -> bit 15
+    # e8m0 byte 255 is NaN (MX spec; golden e8m0_to_f64) — every code
+    # of the group decodes to NaN, matching code * NaN in the oracle
+    bits = jnp.where(scale_bytes == 255, 0x7FC0, bits)
     return _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
 
 
@@ -311,6 +314,11 @@ def e4m3_decode_scaled_bf16(bytes_: jax.Array, scale_bytes: jax.Array) -> jax.Ar
     hi = jnp.where(x >= 255, 255 << 7, (x << 7) | mant)
     bits = jnp.where((e == 0) & (m == 0), 0,
                      jnp.where(x > 0, hi, subn))
+    # NaN inputs (only reachable via imported bytes): e4m3fn NaN is
+    # S.1111.111, e8m0 byte 255 is NaN — both decode to NaN like the
+    # fp64 oracle (golden e4m3_to_f64 / e8m0_to_f64)
+    bits = jnp.where(((e == 15) & (m == 7)) | (scale_bytes == 255),
+                     0x7FC0, bits)
     v = _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
     return jnp.where(sign == 1, -v, v)
 

@@ -80,14 +80,21 @@ class LocalEngine:
     def init_cache(self, n: int, max_len: int):
         return init_cache(self.cfg, n, max_len, self.cache_format)
 
+    def _step_fn(self):
+        from .serving import prefill_step
+
+        def step(c, toks, pos):
+            return prefill_step(self.cfg, self.params, c, toks, pos,
+                                self.h, **self.kw)
+        return step
+
     def prefill(self, tokens, length, max_len: int):
         if self.chunk:
-            lnp = np.asarray(length)
-            t = int(lnp.max())
-            return prefill_chunked(self.cfg, self.params, tokens[:, :t],
-                                   self.h, max_len=max_len, chunk=self.chunk,
-                                   lengths=jnp.asarray(lnp, jnp.int32),
-                                   cache_format=self.cache_format, **self.kw)
+            from .serving import _engine_prefill_chunked
+            return _engine_prefill_chunked(
+                self._step_fn(), self.init_cache(tokens.shape[0], max_len),
+                tokens, length, max_len=max_len, chunk=self.chunk,
+                cfg=self.cfg, params=self.params)
         return _prefill_one(self.cfg, self.params, tokens, length, self.h,
                             max_len=max_len,
                             cache_format=self.cache_format, **self.kw)
@@ -96,19 +103,11 @@ class LocalEngine:
         """Continue prefill of a suffix [1, T'] from position ``start``
         into an existing 1-row cache (prefix-cache continuation);
         returns (logits [1, V], cache)."""
-        from .serving import _chunked_loop, _logits_jit, prefill_step
-
-        def step(c, toks, pos):
-            return prefill_step(self.cfg, self.params, c, toks, pos,
-                                self.h, **self.kw)
-
-        ts = tokens.shape[1]
-        cw = self.chunk or _bucket(ts)
-        if start + -(-ts // cw) * cw > max_len:
-            cw = ts      # padding won't fit the cache: exact-width step
-        last, cache = _chunked_loop(step, cache, tokens, max_len=max_len,
-                                    chunk=cw, start=start)
-        return _logits_jit(self.cfg, self.params, last), cache
+        from .serving import _engine_prefill_from
+        return _engine_prefill_from(
+            self._step_fn(), cache, tokens, start, max_len=max_len,
+            chunk=self.chunk, cfg=self.cfg, params=self.params,
+            bucket=_bucket)
 
     def decode(self, cache, token, pos):
         return decode_step(self.cfg, self.params, cache, token, pos, self.h,
@@ -135,16 +134,27 @@ class ContinuousBatcher:
     def __init__(self, cfg: ModelConfig = None, params=None, h=None, *,
                  n_slots: int, max_len: int, quantized: bool = False,
                  method: str = "quest", mlp=None, engine=None,
-                 chunk: int | None = None, cache_format: str = "bf16",
+                 chunk: int | None = None, cache_format: str | None = None,
                  admit_batch: bool = False):
-        if engine is not None and chunk is not None:
-            raise ValueError(
-                "pass chunk to the engine's own constructor "
-                "(e.g. TPEngine(..., chunk=N)); the batcher-level chunk "
-                "only configures the default LocalEngine")
+        if engine is not None:
+            # LocalEngine-only knobs are silently dead with a custom
+            # engine — reject them so a user configuring e.g. the int8
+            # cache on the batcher gets an error instead of a bf16 cache
+            dead = [n for n, bad in (
+                ("cfg", cfg is not None), ("params", params is not None),
+                ("h", h is not None), ("quantized", quantized is not False),
+                ("method", method != "quest"), ("mlp", mlp is not None),
+                ("chunk", chunk is not None),
+                ("cache_format", cache_format is not None)) if bad]
+            if dead:
+                raise ValueError(
+                    f"{dead} configure the default LocalEngine and are "
+                    "ignored when engine= is passed — set them on the "
+                    "engine's own constructor (e.g. TPEngine(..., "
+                    "chunk=N, cache_format='int8'))")
         self.engine = engine if engine is not None else LocalEngine(
             cfg, params, h, quantized=quantized, method=method, mlp=mlp,
-            chunk=chunk, cache_format=cache_format)
+            chunk=chunk, cache_format=cache_format or "bf16")
         self.n = n_slots
         self.max_len = max_len
         self.cache = self.engine.init_cache(n_slots, max_len)
@@ -156,7 +166,8 @@ class ContinuousBatcher:
         # run() resets this; see run()'s docstring
         self.metrics = {"decode_steps": 0, "prefill_dispatches": 0,
                         "prefix_hits": 0, "tokens_out": 0,
-                        "occupancy_sum": 0, "wall_s": 0.0}
+                        "occupancy_sum": 0, "wall_s": 0.0,
+                        "tokens_per_s": 0.0, "mean_occupancy": 0.0}
 
     # ---------------------------------------------------------- prefix cache
     def set_prefix(self, ids) -> None:
@@ -170,6 +181,14 @@ class ContinuousBatcher:
             self._prefix = None
             return
         ids = np.asarray(ids, np.int32)
+        chunk = getattr(self.engine, "chunk", None)
+        padded = -(-len(ids) // chunk) * chunk if chunk else len(ids)
+        if padded >= self.max_len:
+            raise ValueError(
+                f"prefix of {len(ids)} tokens"
+                + (f" (chunk-padded to {padded})" if chunk else "")
+                + f" leaves no room in max_len={self.max_len} for a "
+                "suffix or generated tokens")
         logits, cache = self.engine.prefill(
             jnp.asarray(ids[None]), jnp.asarray([len(ids)], jnp.int32),
             self.max_len)
@@ -296,7 +315,8 @@ class ContinuousBatcher:
         t0 = time.perf_counter()
         m = self.metrics = {"decode_steps": 0, "prefill_dispatches": 0,
                             "prefix_hits": 0, "tokens_out": 0,
-                            "occupancy_sum": 0, "wall_s": 0.0}
+                            "occupancy_sum": 0, "wall_s": 0.0,
+                            "tokens_per_s": 0.0, "mean_occupancy": 0.0}
         # (per-run counters: dispatches, prefix hits, tokens/s, mean
         # slot occupancy — read self.metrics after run() returns)
         while queue or any(s.remaining > 0 for s in self.slots):

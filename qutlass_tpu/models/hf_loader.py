@@ -253,11 +253,18 @@ def quantized_moe_params_from_hf_state_dict(cfg,
                 layer[ours] = get_quantized(prefix + base)
             else:
                 layer[ours] = get(prefix + hf_name)
-        layer["router"] = get(prefix + "mlp.gate.weight", jnp.float32).T
-        for proj, ours in (("gate_proj", "expert_gate"),
-                           ("up_proj", "expert_up"),
-                           ("down_proj", "expert_down")):
-            names = [f"{prefix}mlp.experts.{e}.{proj}"
+        # naming scheme: qwen3_moe (mlp.experts.{e}.{gate,up,down}_proj)
+        # or mixtral (block_sparse_moe.experts.{e}.{w1,w3,w2})
+        mixtral = any(".block_sparse_moe." in k for k in state)
+        moe_pre = "block_sparse_moe." if mixtral else "mlp."
+        proj_map = ((("w1", "expert_gate"), ("w3", "expert_up"),
+                     ("w2", "expert_down")) if mixtral else
+                    (("gate_proj", "expert_gate"), ("up_proj", "expert_up"),
+                     ("down_proj", "expert_down")))
+        layer["router"] = get(prefix + moe_pre + "gate.weight",
+                              jnp.float32).T
+        for proj, ours in proj_map:
+            names = [f"{prefix}{moe_pre}experts.{e}.{proj}"
                      for e in range(cfg.n_experts)]
             qs = [get_quantized(n) for n in names]
             # expert stacks must be format-uniform for EP/TP stacking

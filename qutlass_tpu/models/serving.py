@@ -264,6 +264,32 @@ def _chunked_loop(step, cache, tokens, *, max_len: int, chunk: int,
     return last, cache
 
 
+def _engine_prefill_chunked(step, cache, tokens, lengths, *, max_len: int,
+                            chunk: int, cfg, params):
+    """Shared body of the engines' chunked ``prefill`` (LocalEngine and
+    TPEngine differ only in the ``step`` closure): ragged batch in,
+    (logits at lengths-1, cache) out."""
+    lnp = np.asarray(lengths)
+    t = int(lnp.max())
+    last, cache = _chunked_loop(step, cache, tokens[:, :t],
+                                max_len=max_len, chunk=chunk,
+                                lengths=jnp.asarray(lnp, jnp.int32))
+    return _logits_jit(cfg, params, last), cache
+
+
+def _engine_prefill_from(step, cache, tokens, start: int, *, max_len: int,
+                         chunk, cfg, params, bucket):
+    """Shared body of the engines' ``prefill_from`` (prefix-cache
+    continuation of a suffix [1, T'] at offset ``start``)."""
+    ts = tokens.shape[1]
+    cw = chunk or bucket(ts)
+    if start + -(-ts // cw) * cw > max_len:
+        cw = ts      # padding won't fit the cache: exact-width step
+    last, cache = _chunked_loop(step, cache, tokens, max_len=max_len,
+                                chunk=cw, start=start)
+    return _logits_jit(cfg, params, last), cache
+
+
 def prefill_chunked(cfg: ModelConfig, params, tokens, h=None, *,
                     max_len: int, chunk: int, quantized: bool = False,
                     method: str = "quest", mlp=None, lengths=None,

@@ -340,22 +340,21 @@ class TPEngine:
             lambda s, x: jax.device_put(x, NamedSharding(self.mesh, s)),
             spec, cache, is_leaf=lambda s: isinstance(s, P))
 
+    def _step_fn(self):
+        def step(c, toks, pos):
+            return tp_prefill_step(self.cfg, self.params, c, toks, pos,
+                                   self.h, self.mesh, **self.kw)
+        return step
+
     def prefill(self, tokens, length, max_len: int):
         if self.chunk:
-            from .serving import _chunked_loop, _logits_jit
-            import numpy as np
-
-            def step(cache, toks, pos):
-                return tp_prefill_step(self.cfg, self.params, cache, toks,
-                                       pos, self.h, self.mesh, **self.kw)
-
-            t = int(np.asarray(length)[0])
-            last, cache = _chunked_loop(
-                step, self.init_cache(tokens.shape[0], max_len),
-                tokens[:, :t], max_len=max_len, chunk=self.chunk)
             # final norm + head are replicated in the param specs, so
             # the logits run outside the shard_map on global arrays
-            return _logits_jit(self.cfg, self.params, last), cache
+            from .serving import _engine_prefill_chunked
+            return _engine_prefill_chunked(
+                self._step_fn(), self.init_cache(tokens.shape[0], max_len),
+                tokens, length, max_len=max_len, chunk=self.chunk,
+                cfg=self.cfg, params=self.params)
         return tp_prefill(self.cfg, self.params, tokens, self.h, self.mesh,
                           max_len=max_len, lengths=length,
                           cache_format=self.cache_format, **self.kw)
@@ -365,19 +364,11 @@ class TPEngine:
         into an existing sharded 1-row cache (prefix-cache
         continuation); returns (logits [1, V], cache)."""
         from .continuous import _bucket
-        from .serving import _chunked_loop, _logits_jit
-
-        def step(c, toks, pos):
-            return tp_prefill_step(self.cfg, self.params, c, toks, pos,
-                                   self.h, self.mesh, **self.kw)
-
-        ts = tokens.shape[1]
-        cw = self.chunk or _bucket(ts)
-        if start + -(-ts // cw) * cw > max_len:
-            cw = ts      # padding won't fit the cache: exact-width step
-        last, cache = _chunked_loop(step, cache, tokens, max_len=max_len,
-                                    chunk=cw, start=start)
-        return _logits_jit(self.cfg, self.params, last), cache
+        from .serving import _engine_prefill_from
+        return _engine_prefill_from(
+            self._step_fn(), cache, tokens, start, max_len=max_len,
+            chunk=self.chunk, cfg=self.cfg, params=self.params,
+            bucket=_bucket)
 
     def decode(self, cache, token, pos):
         return tp_decode_step(self.cfg, self.params, cache, token, pos,

@@ -161,3 +161,24 @@ def test_mxfp8_shared_exp_wraps_like_golden():
                           out=np.ones(5))) - 7 + 127).astype(np.int64),
         127).astype(np.uint8)
     np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+
+def test_scaled_decode_nan_inputs():
+    """Imported NaN bytes decode to NaN like the fp64 oracle: e8m0
+    scale byte 255 (MX NaN) poisons the whole group in both decoders;
+    e4m3fn data S.1111.111 is NaN at any scale."""
+    from qutlass_tpu.formats import codecs as C
+
+    codes = jnp.asarray([[c for c in range(16)]], jnp.int32)
+    got = np.asarray(C.e2m1_decode_scaled_bf16(
+        codes, jnp.full((1, 1), 255, jnp.int32))).astype(np.float64)
+    assert np.isnan(got).all()
+
+    b = jnp.asarray([[0x7F, 0xFF, 0x40]], jnp.int32)
+    got = np.asarray(C.e4m3_decode_scaled_bf16(
+        b, jnp.full((1, 1), 127, jnp.int32))).astype(np.float64)
+    assert np.isnan(got[0, 0]) and np.isnan(got[0, 1])
+    assert got[0, 2] == 2.0 ** 1     # 0x40 = 2.0 normal at unit scale
+    got = np.asarray(C.e4m3_decode_scaled_bf16(
+        b, jnp.full((1, 1), 255, jnp.int32))).astype(np.float64)
+    assert np.isnan(got).all()

@@ -269,3 +269,34 @@ def test_tp_int8_kv_cache(setup):
                                   cache_format="int8"))[0]
         np.testing.assert_array_equal(outs[i], ref,
                                       err_msg=f"prompt {i} diverged")
+
+
+def test_tp_engine_chunked_ragged_batch():
+    """Regression: TPEngine(chunk=N).prefill with a RAGGED batch (the
+    admit_batch path) must honor per-row lengths — row 1's prompt was
+    previously truncated to row 0's length and every row's logits were
+    read at the wrong position."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    qparams = quantize_model_weights(cfg, params, h)
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    eng = TP.TPEngine(cfg, sp, h, mesh, quantized=True, chunk=8)
+
+    rng = np.random.default_rng(30)
+    toks = np.zeros((2, 17), np.int32)
+    toks[0] = rng.integers(0, cfg.vocab_size, 17)
+    toks[1, :5] = rng.integers(0, cfg.vocab_size, 5)
+    lens = jnp.asarray([17, 5], jnp.int32)
+
+    got, gcache = eng.prefill(jnp.asarray(toks), lens, 64)
+    want, wcache = TP.tp_prefill(cfg, sp, jnp.asarray(toks), h, mesh,
+                                 max_len=64, lengths=lens)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for l in range(cfg.num_layers):
+        np.testing.assert_array_equal(
+            np.asarray(gcache[l]["k"][:, :17]),
+            np.asarray(wcache[l]["k"][:, :17]), err_msg=f"layer {l}")
