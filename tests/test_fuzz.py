@@ -373,3 +373,34 @@ def test_fuzz_continuous_batching_schedule(seed):
             outs[i], np.asarray(keep, np.int32),
             err_msg=f"seed {seed} prompt {i} (slots={n_slots}, "
                     f"chunk={chunk}, eos={eos})")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_scaled_decoders_full_byte_range(seed):
+    """Scaled decoders over the FULL byte range (including imported-only
+    values: NaN scale byte 255, e4m3fn NaN data, overflow, deep
+    subnormals) vs the fp64 golden cast to bf16."""
+    import ml_dtypes
+    from qutlass_tpu.formats import codecs as C
+    from qutlass_tpu.formats import golden as G
+
+    rng = np.random.default_rng(13000 + seed)
+    n = 4096
+    codes = jnp.asarray(rng.integers(0, 16, size=n), jnp.int32)
+    sb = jnp.asarray(rng.integers(0, 256, size=n), jnp.int32)
+    got = np.asarray(C.e2m1_decode_scaled_bf16(codes, sb), np.float64)
+    want = (np.asarray(C.e2m1_decode_f32(codes), np.float64)
+            * G.e8m0_to_f64(np.asarray(sb))
+            ).astype(ml_dtypes.bfloat16).astype(np.float64)
+    nan = np.isnan(want)
+    np.testing.assert_array_equal(got[~nan], want[~nan])
+    assert np.isnan(got[nan]).all()
+
+    data = jnp.asarray(rng.integers(0, 256, size=n), jnp.int32)
+    got = np.asarray(C.e4m3_decode_scaled_bf16(data, sb), np.float64)
+    want = (G.e4m3_to_f64(np.asarray(data))
+            * G.e8m0_to_f64(np.asarray(sb))
+            ).astype(ml_dtypes.bfloat16).astype(np.float64)
+    nan = np.isnan(want)
+    np.testing.assert_array_equal(got[~nan], want[~nan])
+    assert np.isnan(got[nan]).all()
