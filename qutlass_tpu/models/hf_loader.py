@@ -54,6 +54,9 @@ def config_from_hf(hf_config: Mapping) -> ModelConfig:
         rms_eps=hf_config.get("rms_norm_eps", 1e-6),
         qk_norm=qk_norm,
         tie_embeddings=hf_config.get("tie_word_embeddings", False),
+        sliding_window=(hf_config.get("sliding_window")
+                        if hf_config.get("use_sliding_window", True)
+                        else None),
     )
 
 

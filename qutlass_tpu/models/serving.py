@@ -63,7 +63,8 @@ def _kv_dequantize(q, s):
 
 def _attend(cfg, qh, kc, vc, pos_limit):
     """q [B, T, H, D] against cache k/v [B, L, KVH, D], masked to
-    positions < pos_limit + per-query causality offset.
+    positions < pos_limit + per-query causality offset (and, with
+    ``cfg.sliding_window``, to the window's last W positions).
 
     ``pos_limit``: scalar, or [B] for ragged batches (per-row decode
     positions)."""
@@ -81,6 +82,9 @@ def _attend(cfg, qh, kc, vc, pos_limit):
     qpos = jnp.broadcast_to(qpos, (b, t))
     spos = jnp.arange(l)
     mask = spos[None, None, :] <= qpos[:, :, None]  # [b, t, l]
+    if cfg.sliding_window:
+        mask = mask & (spos[None, None, :]
+                       > qpos[:, :, None] - cfg.sliding_window)
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bgrts,bsgd->btgrd", probs, vc.astype(jnp.float32))

@@ -40,6 +40,10 @@ class ModelConfig:
     rms_eps: float = 1e-6
     qk_norm: bool = True           # Qwen3 style; False for Llama
     tie_embeddings: bool = False
+    # Mistral-family sliding-window attention: each query attends only
+    # the last ``sliding_window`` positions (None = full causal).  The
+    # KV cache stays full-length (masked attention, not a ring buffer).
+    sliding_window: int | None = None
 
 
 QWEN3_8B = ModelConfig()
@@ -339,6 +343,9 @@ def forward(cfg: ModelConfig, params, tokens: jax.Array, h: jax.Array = None,
     x = params["embed"][tokens]
     positions = jnp.arange(t)
     causal = jnp.tril(jnp.ones((t, t), bool))
+    if cfg.sliding_window:
+        qp, sp_ = jnp.arange(t)[:, None], jnp.arange(t)[None, :]
+        causal = causal & (sp_ > qp - cfg.sliding_window)
 
     for layer in params["layers"]:
         xin = _rms_norm(x, layer["input_norm"], cfg.rms_eps)

@@ -190,3 +190,52 @@ def test_nv_gsx_bound_mode_env_knob(monkeypatch):
         ratio = np.linalg.norm(y) / np.linalg.norm(ref)
         assert 0.8 < ratio < 1.25, ratio
     assert not np.array_equal(exact, bound)
+
+
+def test_sliding_window_attention():
+    """cfg.sliding_window masks attention to the last W positions:
+    a window >= T equals full causal attention exactly; tokens older
+    than the window cannot influence the last position, tokens inside
+    it do (Mistral-family semantics, forward + serving paths)."""
+    import dataclasses
+    from qutlass_tpu.models import (decode_step, generate, init_params,
+                                    prefill, tiny_config)
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(4), (1, 12), 0,
+                              cfg.vocab_size)
+
+    wide = dataclasses.replace(cfg, sliding_window=32)
+    np.testing.assert_array_equal(
+        np.asarray(forward(wide, params, toks)),
+        np.asarray(forward(cfg, params, toks)))
+
+    win = dataclasses.replace(cfg, sliding_window=4)
+    base = np.asarray(forward(win, params, toks)[0, -1])
+    # perturb a token older than the window: last logits unchanged
+    old = np.asarray(toks).copy()
+    old[0, 2] = (old[0, 2] + 1) % cfg.vocab_size
+    np.testing.assert_array_equal(
+        np.asarray(forward(win, params, jnp.asarray(old))[0, -1]), base)
+    # perturb a token inside the window: last logits change
+    new = np.asarray(toks).copy()
+    new[0, 10] = (new[0, 10] + 1) % cfg.vocab_size
+    assert not np.array_equal(
+        np.asarray(forward(win, params, jnp.asarray(new))[0, -1]), base)
+
+    # serving path agrees with forward (same consistency bound as the
+    # full-causal test: prefill+decode == forward positions)
+    full = forward(win, params, toks)
+    logits, cache = prefill(win, params, toks[:, :8], h=None, max_len=16)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, 7]),
+                               rtol=5e-2, atol=5e-2)
+    for p in range(8, 12):
+        logits, cache = decode_step(win, params, cache, toks[:, p],
+                                    jnp.int32(p))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[:, p]),
+                                   rtol=5e-2, atol=5e-2)
+    # generate runs end-to-end under the window
+    out = generate(win, params, toks[:, :6], steps=4, max_len=16)
+    assert out.shape == (1, 4)
