@@ -427,13 +427,13 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
                    static_argnames=("cfg", "steps", "quantized", "method",
                                     "max_len", "temperature", "top_k",
                                     "top_p", "eos_id", "pad_id", "mlp",
-                                    "cache_format"))
+                                    "cache_format", "return_logprobs"))
 def _generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
               max_len: int, quantized: bool = False, method: str = "quest",
               key=None, temperature: float = 0.0, top_k: int = 0,
               top_p: float = 1.0, eos_id: int | None = None,
               pad_id: int = 0, mlp=None, lengths=None,
-              cache_format: str = "bf16"):
+              cache_format: str = "bf16", return_logprobs: bool = False):
     """Jitted generation loop: prompt [B, T] -> tokens [B, steps].
 
     One compiled dispatch: prefill + ``steps`` decode iterations under
@@ -444,6 +444,12 @@ def _generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
     semantics on a TPU-friendly fixed-length loop).  ``lengths`` [B]
     enables ragged prompts (right-padded to T; each row generates from
     its own position; ``max_len`` must cover max(lengths) + steps).
+
+    ``return_logprobs=True`` additionally returns each emitted token's
+    log-probability under the model's (untempered) softmax at the
+    position that produced it — ``(tokens [B, steps], logprobs
+    [B, steps] f32)``, the serving-stack ``logprobs`` surface; padded
+    positions after EOS carry 0.0.
     """
     b, t = prompt.shape
     if key is None:
@@ -453,28 +459,38 @@ def _generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
         return sample_logits(logits, k, temperature=temperature,
                              top_k=top_k, top_p=top_p)
 
+    def lp_of(logits, token):
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[
+            jnp.arange(b), token]
+
     logits, cache = prefill(cfg, params, prompt, h, max_len=max_len,
                             quantized=quantized, method=method, mlp=mlp,
                             lengths=lengths, cache_format=cache_format)
     key, k0 = jax.random.split(key)
     first = pick(logits, k0)
+    lp0 = lp_of(logits, first) if return_logprobs else jnp.zeros((b,))
     done0 = jnp.zeros((b,), bool)
     # scalar position for dense prompts (keeps the cache write a
     # dynamic_update_slice); per-row vector only when ragged
     pos0 = jnp.int32(t) if lengths is None else lengths.astype(jnp.int32)
 
     def step(carry, k):
-        token, pos, cache, done = carry
+        token, lp, pos, cache, done = carry
         logits, cache = decode_step(cfg, params, cache, token, pos, h,
                                     quantized=quantized, method=method,
                                     mlp=mlp)
         nxt = pick(logits, k)
-        out = jnp.where(done, pad_id, token)
+        nlp = lp_of(logits, nxt) if return_logprobs else lp
+        out = (jnp.where(done, pad_id, token),
+               jnp.where(done, 0.0, lp))
         if eos_id is not None:
             done = done | (token == eos_id)
-        return (nxt, pos + 1, cache, done), out
+        return (nxt, nlp, pos + 1, cache, done), out
 
     keys = jax.random.split(key, steps)
-    (_, _, _, _), toks = jax.lax.scan(step, (first, pos0, cache, done0),
-                                      keys)
-    return jnp.swapaxes(toks, 0, 1)               # [B, steps]
+    _, (toks, lps) = jax.lax.scan(step, (first, lp0, pos0, cache, done0),
+                                  keys)
+    toks = jnp.swapaxes(toks, 0, 1)               # [B, steps]
+    if return_logprobs:
+        return toks, jnp.swapaxes(lps, 0, 1)
+    return toks

@@ -302,3 +302,40 @@ def test_int8_kv_cache_generation_quality():
                    cache_format="int8")
     assert out.shape == (2, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generate_logprobs():
+    """return_logprobs: each emitted token's log-prob under the model's
+    softmax at the producing position; greedy tokens carry the max
+    log-prob; post-EOS padding carries 0.0; tokens unchanged."""
+    cfg, params, h = _setup(False)
+    prompt = jax.random.randint(jax.random.PRNGKey(6), (2, 5), 0,
+                                cfg.vocab_size)
+    steps = 5
+    plain = np.asarray(generate(cfg, params, prompt, h, steps=steps,
+                                max_len=16))
+    toks, lps = generate(cfg, params, prompt, h, steps=steps, max_len=16,
+                         return_logprobs=True)
+    toks, lps = np.asarray(toks), np.asarray(lps, np.float32)
+    np.testing.assert_array_equal(toks, plain)
+    assert lps.shape == (2, steps) and (lps <= 0).all()
+
+    # verify the first step's logprob against a manual prefill
+    logits, _ = prefill(cfg, params, prompt, h, max_len=16)
+    ref = np.log(np.exp(np.asarray(logits, np.float64))
+                 / np.exp(np.asarray(logits, np.float64)).sum(-1,
+                                                              keepdims=True))
+    np.testing.assert_allclose(lps[:, 0], ref[np.arange(2), toks[:, 0]],
+                               rtol=1e-5, atol=1e-5)
+    # greedy: the emitted token is the argmax -> max logprob
+    assert (toks[:, 0] == np.argmax(np.asarray(logits), -1)).all()
+
+    # EOS padding zeroes the tail logprobs
+    eos = int(plain[0, 1])
+    toks2, lps2 = generate(cfg, params, prompt, h, steps=steps, max_len=16,
+                           eos_id=eos, pad_id=-1, return_logprobs=True)
+    toks2, lps2 = np.asarray(toks2), np.asarray(lps2)
+    for b in range(2):
+        hits = np.nonzero(toks2[b] == -1)[0]
+        if hits.size:
+            assert (lps2[b, hits] == 0.0).all()
