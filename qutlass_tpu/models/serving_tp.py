@@ -223,17 +223,21 @@ def tp_decode_step(cfg: ModelConfig, params, cache, token, pos, h,
                                              "max_len", "quantized", "method",
                                              "temperature", "top_k", "top_p",
                                              "eos_id", "pad_id", "specs_fn",
-                                             "mlp_factory"))
+                                             "mlp_factory",
+                                             "return_logprobs"))
 def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
                 steps: int, max_len: int, quantized: bool = True,
                 method: str = "quest", axis: str = "tp", key=None,
                 temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
                 eos_id: int | None = None, pad_id: int = 0,
-                specs_fn=None, mlp_factory=None):
+                specs_fn=None, mlp_factory=None,
+                return_logprobs: bool = False):
     """Sharded generation: one shard_map dispatch for prefill + decode scan.
 
     Sampling uses the same key on every shard, so all shards pick the
-    same token without an extra collective.
+    same token without an extra collective.  ``return_logprobs=True``
+    additionally returns per-token log-probabilities like
+    :func:`serving.generate`.
     """
     tp = mesh.shape[axis]
     scfg = shard_cfg(cfg, tp)
@@ -247,10 +251,14 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
         return sample_logits(logits, k, temperature=temperature,
                              top_k=top_k, top_p=top_p)
 
+    def lp_of(logits, token):
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[
+            jnp.arange(b), token]
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(specs, P(None, None), P(None)),
-        out_specs=P(None, None),
+        out_specs=(P(None, None), P(None, None)),
         check_rep=False)
     def run(p, prompt, key):
         cache = init_cache(scfg, b, max_len)
@@ -258,26 +266,32 @@ def tp_generate(cfg: ModelConfig, params, prompt, h, mesh: Mesh, *,
         x, cache = _run_blocks(scfg, p, x, cache, 0, h, method, quantized,
                                axis, mlp=mlp)
         key, k0 = jax.random.split(key)
-        first = pick(_logits(scfg, p, x[:, -1]), k0)
+        logits0 = _logits(scfg, p, x[:, -1])
+        first = pick(logits0, k0)
+        lp0 = lp_of(logits0, first) if return_logprobs else jnp.zeros((b,))
         done0 = jnp.zeros((b,), bool)
 
         def step(carry, k):
-            token, pos, cache, done = carry
+            token, lp, pos, cache, done = carry
             x = p["embed"][token][:, None]
             x, cache = _run_blocks(scfg, p, x, cache, pos, h, method,
                                    quantized, axis, mlp=mlp)
-            nxt = pick(_logits(scfg, p, x[:, 0]), k)
-            out = jnp.where(done, pad_id, token)
+            logits = _logits(scfg, p, x[:, 0])
+            nxt = pick(logits, k)
+            nlp = lp_of(logits, nxt) if return_logprobs else lp
+            out = (jnp.where(done, pad_id, token),
+                   jnp.where(done, 0.0, lp))
             if eos_id is not None:
                 done = done | (token == eos_id)
-            return (nxt, pos + 1, cache, done), out
+            return (nxt, nlp, pos + 1, cache, done), out
 
         keys = jax.random.split(key, steps)
-        (_, _, _, _), toks = jax.lax.scan(
-            step, (first, jnp.int32(t), cache, done0), keys)
-        return jnp.swapaxes(toks, 0, 1)
+        _, (toks, lps) = jax.lax.scan(
+            step, (first, lp0, jnp.int32(t), cache, done0), keys)
+        return jnp.swapaxes(toks, 0, 1), jnp.swapaxes(lps, 0, 1)
 
-    return run(params, prompt, key)
+    toks, lps = run(params, prompt, key)
+    return (toks, lps) if return_logprobs else toks
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis",

@@ -300,3 +300,29 @@ def test_tp_engine_chunked_ragged_batch():
         np.testing.assert_array_equal(
             np.asarray(gcache[l]["k"][:, :17]),
             np.asarray(wcache[l]["k"][:, :17]), err_msg=f"layer {l}")
+
+
+def test_tp_generate_logprobs(setup):
+    """tp_generate(return_logprobs=True): tokens unchanged, logprobs
+    are valid log-probabilities (<= 0), greedy first token carries the
+    max logprob of the TP prefill logits."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a 2-device mesh")
+    cfg, params, qparams, h = setup
+    mesh = make_mesh({"tp": 2})
+    sp = TP.shard_params(cfg, qparams, mesh)
+    prompt = jax.random.randint(jax.random.PRNGKey(31), (2, 4), 0,
+                                cfg.vocab_size)
+    plain = np.asarray(TP.tp_generate(cfg, sp, prompt, h, mesh, steps=4,
+                                      max_len=16))
+    toks, lps = TP.tp_generate(cfg, sp, prompt, h, mesh, steps=4,
+                               max_len=16, return_logprobs=True)
+    toks, lps = np.asarray(toks), np.asarray(lps, np.float32)
+    np.testing.assert_array_equal(toks, plain)
+    assert lps.shape == (2, 4) and (lps <= 0).all()
+    logits, _ = TP.tp_prefill(cfg, sp, prompt, h, mesh, max_len=16)
+    l0 = np.asarray(logits, np.float64)
+    ref = l0 - np.log(np.exp(l0 - l0.max(-1, keepdims=True)).sum(
+        -1, keepdims=True)) - l0.max(-1, keepdims=True)
+    np.testing.assert_allclose(lps[:, 0], ref[np.arange(2), toks[:, 0]],
+                               rtol=1e-4, atol=1e-4)
