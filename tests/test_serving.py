@@ -339,3 +339,28 @@ def test_generate_logprobs():
         hits = np.nonzero(toks2[b] == -1)[0]
         if hits.size:
             assert (lps2[b, hits] == 0.0).all()
+
+
+def test_sliding_window_composes_with_chunked_and_int8_cache():
+    """Feature composition: a sliding-window config through chunked
+    prefill equals its one-shot prefill bitwise (the window mask is
+    position-absolute, so chunking cannot change it), and the int8
+    cache runs under the window."""
+    import dataclasses
+    from qutlass_tpu.models.serving import prefill_chunked
+
+    cfg, params, h = _setup(False)
+    win = dataclasses.replace(cfg, sliding_window=5)
+    toks = jax.random.randint(jax.random.PRNGKey(17), (2, 11), 0,
+                              cfg.vocab_size)
+    ref, _ = prefill(win, params, toks, h, max_len=24)
+    got, _ = prefill_chunked(win, params, toks, h, max_len=24, chunk=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    li, ci = prefill(win, params, toks, h, max_len=24, cache_format="int8")
+    assert ci[0]["k"].dtype == jnp.int8
+    lb, _ = prefill(win, params, toks, h, max_len=24)
+    a = np.asarray(li, np.float32).ravel()
+    b = np.asarray(lb, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.99, cos
