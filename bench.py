@@ -1,40 +1,79 @@
 """Headline benchmark — MXFP4 W4A4 quantized linear vs bf16 on TPU.
 
-The FULL reference protocol (benchmarks/bench_mxfp4_sm120.py:90,161-178):
-both model tables (Qwen3-32B: 5120x5120, 5120x51200, 25600x5120;
+The FULL reference protocol (benchmarks/bench_mxfp4_sm120.py:90,161-178)
+is both model tables (Qwen3-32B: 5120x5120, 5120x51200, 25600x5120;
 Llama-3.1-70B: 8192x8192, 8192x57344, 28672x8192), Hadamard size in
 {32, 64, 128}, M in {1,4,8,16,32,64,128,256,512,1024,2048}; activation
 path = fused quantize -> int8-MXU GEMM (ops/int8path.py — the
 production linear) with pre-prepared weights; TFLOP/s = 2*M*N*K/t.
-An NVFP4 headline line (int8-MXU production path) is appended.
+That grid takes ~110 min through the remote tunnel (round-2 log), which
+does not fit the driver budget (round 2 timed out at rc=124), so this
+script is BUDGET-AWARE:
+
+* Core stratified subset first: all 6 geometries x had=32 x
+  M in {1, 16, 256, 2048}, then the NVFP4 line (production int8 path,
+  same bf16 baselines), then extensions (had 64/128, the remaining Ms)
+  while wall clock remains.
+* ``QUTLASS_BENCH_BUDGET_S`` (default 1080 s) caps the measurement
+  phase; the JSON line is emitted from whatever was measured.
+* SIGTERM/SIGALRM also trigger emission of the partial result, so a
+  driver kill still lands a number.
+* ``QUTLASS_BENCH_FULL=1`` restores the full reference grid (manual
+  runs); ``QUTLASS_BENCH_FAST=1`` keeps only the core subset.
 
 Prints ONE JSON line:
   metric      mxfp4_w4a4_linear_speedup_vs_bf16_geomean
   value       geometric-mean speedup of the quantized linear over the
-              bf16 linear across the full grid
+              bf16 linear across the measured grid
   vs_baseline same number (the reference's own headline is this ratio
               on its hardware; no absolute numbers are published —
               BASELINE.md)
-Per-shape details go to stderr.  QUTLASS_BENCH_FAST=1 trims to the
-had-32 grid (debug runs).
+plus ``nvfp4_geomean`` when the NV line was measured.  Per-shape
+details go to stderr.
 """
 import json
 import os
+import re
+import signal
 import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-MS = [1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]
+MS_CORE = [1, 16, 256, 2048]
+MS_FULL = [1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]
 TABLES = {
     "qwen3-32b": [(5120, 5120), (5120, 51200), (25600, 5120)],
     "llama31-70b": [(8192, 8192), (8192, 57344), (28672, 8192)],
 }
+RECORDED_LOG = os.path.join(REPO, "benchmarks",
+                            "results_full_grid_int8_r2.log")
+
+
+def _recorded_geomean():
+    """Geomean of the committed full-grid log (198 MX points), plus its
+    recording date — the degraded-mode fallback reads the artifact
+    instead of hard-coding a constant that would rot silently."""
+    speeds, date = [], None
+    with open(RECORDED_LOG) as f:
+        for line in f:
+            if date is None:
+                m = re.match(r"WARNING:(\d{4}-\d{2}-\d{2})", line)
+                if m:
+                    date = m.group(1)
+            if line.startswith("NVFP4"):
+                continue  # headline is the MX grid, NV reported apart
+            m = re.search(r"speedup\s+([0-9.]+)x", line)
+            if m:
+                speeds.append(float(m.group(1)))
+    return float(np.exp(np.mean(np.log(speeds)))), len(speeds), date
 
 
 def _backend_reachable(timeout_s: int = 300) -> bool:
@@ -53,35 +92,89 @@ def _backend_reachable(timeout_s: int = 300) -> bool:
         return False
 
 
+class Emitter:
+    """Collects measured points and emits the JSON line exactly once —
+    from normal completion, budget expiry, or SIGTERM/SIGALRM."""
+
+    def __init__(self):
+        self.mx = []          # (table, K, N, had, M, t_quant, t_bf16)
+        self.nv = []          # (K, N, M, t_quant, t_bf16)
+        self.done = False
+
+    def add_mx(self, *row):
+        self.mx.append(row)
+
+    def add_nv(self, *row):
+        self.nv.append(row)
+
+    def emit(self, note=None):
+        if self.done:
+            return
+        self.done = True
+        if not self.mx:
+            g, n, date = _recorded_geomean()
+            out = {
+                "metric": "mxfp4_w4a4_linear_speedup_vs_bf16_geomean",
+                "value": round(g, 4), "unit": "x",
+                "vs_baseline": round(g, 4),
+                "note": (f"no fresh points measured"
+                         f"{' (' + note + ')' if note else ''}; value is "
+                         f"the recorded full-grid measurement "
+                         f"({os.path.basename(RECORDED_LOG)}, {n} points, "
+                         f"{date})"),
+            }
+            print(json.dumps(out), flush=True)
+            return
+        speeds = [tb / tq for *_, tq, tb in self.mx]
+        by_m = {}
+        for _, _, _, _, m, tq, tb in self.mx:
+            by_m.setdefault(m, []).append(tb / tq)
+        for m in sorted(by_m):
+            gm = float(np.exp(np.mean(np.log(by_m[m]))))
+            log(f"geomean by M={m:5d}: {gm:5.2f}x over "
+                f"{len(by_m[m])} shapes")
+        g = float(np.exp(np.mean(np.log(speeds))))
+        out = {
+            "metric": "mxfp4_w4a4_linear_speedup_vs_bf16_geomean",
+            "value": round(g, 4), "unit": "x", "vs_baseline": round(g, 4),
+            "points": len(speeds),
+        }
+        if self.nv:
+            nvs = [tb / tq for *_, tq, tb in self.nv]
+            out["nvfp4_geomean"] = round(
+                float(np.exp(np.mean(np.log(nvs)))), 4)
+        if note:
+            out["note"] = note
+        print(json.dumps(out), flush=True)
+
+
 def main():
     t_start = time.time()
+    budget = float(os.environ.get("QUTLASS_BENCH_BUDGET_S", "1080"))
+    em = Emitter()
+
+    def on_signal(signum, frame):
+        log(f"signal {signum}: emitting partial result "
+            f"({len(em.mx)} MX + {len(em.nv)} NV points)")
+        em.emit(note=f"interrupted by signal {signum}")
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGALRM, on_signal)
+    signal.alarm(int(budget) + 240)  # backstop past a hung fetch
+
     if not _backend_reachable():
-        # Honest degraded mode: the tunnel is down, so no fresh
-        # measurement is possible.  Emit the recorded round-2 full-grid
-        # number (benchmarks/results_full_grid_int8_r2.log, 198 points,
-        # same protocol) explicitly labeled as recorded, instead of
-        # hanging the driver.
         log("TPU backend unreachable (init hung past the probe timeout);"
-            " emitting the RECORDED round-2 full-grid measurement")
-        print(json.dumps({
-            "metric": "mxfp4_w4a4_linear_speedup_vs_bf16_geomean",
-            "value": 1.6137,     # geomean of the log's 198 grid points
-            "unit": "x",
-            "vs_baseline": 1.6137,
-            "note": ("TPU tunnel unreachable at bench time; value is the "
-                     "recorded round-2 full-grid measurement "
-                     "(benchmarks/results_full_grid_int8_r2.log), not a "
-                     "fresh run"),
-        }))
+            " emitting the RECORDED full-grid measurement")
+        em.emit(note="TPU tunnel unreachable at bench time")
         return
     import jax
     import jax.numpy as jnp
-    import ml_dtypes
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+                          os.path.join(REPO, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -92,7 +185,8 @@ def main():
         from qutlass_tpu.ops import pallas_ops as P
     else:
         from qutlass_tpu.ops import emulation as P
-    log(f"platform={jax.default_backend()} device={jax.devices()[0].device_kind}")
+    log(f"platform={jax.default_backend()} "
+        f"device={jax.devices()[0].device_kind} budget={budget:.0f}s")
 
     from qutlass_tpu.profiling import benchmark as _benchmark, chain_dep
 
@@ -100,8 +194,6 @@ def main():
         if on_tpu:
             return _benchmark(op, repeats=3, params=params)
         return _benchmark(op, iters=2, chain=2, repeats=1, params=params)
-
-    rng = np.random.default_rng(0)
 
     def hadamard(n):
         hm = np.array([[1.0]])
@@ -112,127 +204,158 @@ def main():
     HS = {n: hadamard(n) for n in (32, 64, 128)}
     one = jnp.ones((1,), jnp.float32)
     fast = os.environ.get("QUTLASS_BENCH_FAST", "") not in ("", "0")
+    full = os.environ.get("QUTLASS_BENCH_FULL", "") not in ("", "0")
 
+    # Grid as an ordered worklist: core stratified subset first, then
+    # extensions consumed while the budget lasts.  Geometry-major so
+    # prepared weights are reused across had sizes and Ms.
     if on_tpu:
-        grid = []
+        core, ext = [], []
         for table, geos in TABLES.items():
             for K, N in geos:
-                for had in ((32,) if fast else (32, 64, 128)):
-                    grid.append((table, K, N, had, MS))
-        nv_line = ("qwen3-32b", 5120, 5120, 32, [16, 256, 2048])
+                core.append((table, K, N, 32,
+                             MS_FULL if full else MS_CORE))
+        if not (fast or full):
+            for had in (64, 128):
+                for table, geos in TABLES.items():
+                    for K, N in geos:
+                        ext.append((table, K, N, had, MS_CORE))
+            ext.append(("qwen3-32b", 5120, 5120, 32,
+                        [4, 8, 32, 64, 128, 512, 1024]))
+        elif full:
+            for had in (64, 128):
+                for table, geos in TABLES.items():
+                    for K, N in geos:
+                        core.append((table, K, N, had, MS_FULL))
+        nv_ms = [16, 256, 2048]
     else:
-        grid = [("tiny", 1024, 1024, 32, [16, 64])]
-        nv_line = None
+        core, ext = [("tiny", 1024, 1024, 32, [16, 64])], []
+        nv_ms = None
 
-    speedups = []
-    by_m = {}
-    cur_weights = None  # (K, N) -> reuse across had sizes
-    for table, K, N, had, ms in grid:
-        nw = 8 if N * K <= 5120 * 5120 else 4
-        if cur_weights and cur_weights[0] == (K, N):
-            _, wTs, wi8s, wsbs = cur_weights
-        else:
-            wTs, wi8s, wsbs = [], [], []
-            for i in range(nw):
-                w = (jax.random.normal(jax.random.PRNGKey(i), (N, K),
-                                       jnp.bfloat16) * 0.05)
-                wqt, wst = P.fused_quantize_mx(w, HS[32], rot_size=32,
-                                               method="quest", layout="kmajor")
-                wi8, wsb, _ = I8.prepare_weight_int8(wqt, wst)
-                wTs.append(w.T)
-                wi8s.append(wi8)
-                wsbs.append(wsb)
-            del w
-            cur_weights = ((K, N), wTs, wi8s, wsbs)
-        h = HS[had]
+    tbs = {}          # (M, K, N) -> bf16 baseline (shared with NV)
+    cur_weights = None
+    t_point = 60.0    # running estimate of one point's cost
 
-        qparams = {"wi8": wi8s, "wsb": wsbs}
-        bparams = {"wT": wTs}
-        tbs = {}
+    def out_of_budget():
+        return time.time() - t_start + 1.5 * t_point > budget
 
-        for M in ms:
-            a = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.bfloat16)
+    def run_mx(worklist, stop_on_budget):
+        nonlocal cur_weights, t_point
+        for table, K, N, had, ms in worklist:
+            nw = 8 if N * K <= 5120 * 5120 else 4
+            if cur_weights and cur_weights[0] == (K, N):
+                _, wTs, wi8s, wsbs = cur_weights
+            else:
+                if stop_on_budget and out_of_budget():
+                    return False
+                wTs, wi8s, wsbs = [], [], []
+                for i in range(nw):
+                    w = (jax.random.normal(jax.random.PRNGKey(i), (N, K),
+                                           jnp.bfloat16) * 0.05)
+                    wqt, wst = P.fused_quantize_mx(
+                        w, HS[32], rot_size=32, method="quest",
+                        layout="kmajor")
+                    wi8, wsb, _ = I8.prepare_weight_int8(wqt, wst)
+                    wTs.append(w.T)
+                    wi8s.append(wi8)
+                    wsbs.append(wsb)
+                del w
+                cur_weights = ((K, N), wTs, wi8s, wsbs)
+            h = HS[had]
+            qparams = {"wi8": wi8s, "wsb": wsbs}
+            bparams = {"wT": wTs}
+            for M in ms:
+                if stop_on_budget and out_of_budget():
+                    del qparams, bparams
+                    return False
+                tp0 = time.time()
+                a = jax.random.normal(jax.random.PRNGKey(M), (M, K),
+                                      jnp.bfloat16)
 
-            def quant_linear(d, j, p):
-                x = chain_dep(a, d)
-                cq, cs = P.fused_quantize_mx(x, h, rot_size=had,
-                                             method="quest",
-                                             layout="kmajor_codes")
-                ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
-                return I8.matmul_mxf4_bf16_int8_kmajor(ai, p["wi8"][j % nw],
-                                                       sa, p["wsb"][j % nw],
-                                                       one)
+                def quant_linear(d, j, p):
+                    x = chain_dep(a, d)
+                    cq, cs = P.fused_quantize_mx(
+                        x, h, rot_size=had, method="quest",
+                        layout="kmajor_codes")
+                    ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+                    return I8.matmul_mxf4_bf16_int8_kmajor(
+                        ai, p["wi8"][j % nw], sa, p["wsb"][j % nw], one)
 
-            def bf16_linear(d, j, p):
-                return chain_dep(a, d) @ p["wT"][j % nw]
+                def bf16_linear(d, j, p):
+                    return chain_dep(a, d) @ p["wT"][j % nw]
 
-            tq = bench_scan(quant_linear, qparams)
-            if (M, K, N) not in tbs:
-                tbs[(M, K, N)] = bench_scan(bf16_linear, bparams)
-            tb = tbs[(M, K, N)]
-            s = tb / tq
-            speedups.append(s)
-            by_m.setdefault(M, []).append(s)
-            tf = 2 * M * N * K / tq / 1e12
-            log(f"{table} K={K:5d} N={N:5d} had={had:3d} M={M:5d}: "
-                f"mxfp4-int8 {tq*1e6:9.1f}us ({tf:6.2f} TF/s) "
-                f"bf16 {tb*1e6:9.1f}us  speedup {s:5.2f}x")
-        del qparams, bparams
-    del cur_weights
+                tq = bench_scan(quant_linear, qparams)
+                if (M, K, N) not in tbs:
+                    tbs[(M, K, N)] = bench_scan(bf16_linear, bparams)
+                tb = tbs[(M, K, N)]
+                em.add_mx(table, K, N, had, M, tq, tb)
+                tf = 2 * M * N * K / tq / 1e12
+                log(f"{table} K={K:5d} N={N:5d} had={had:3d} M={M:5d}: "
+                    f"mxfp4-int8 {tq*1e6:9.1f}us ({tf:6.2f} TF/s) "
+                    f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x")
+                t_point = 0.5 * t_point + 0.5 * (time.time() - tp0)
+            del qparams, bparams
+        return True
 
-    if nv_line is not None:
-        table, K, N, had, ms = nv_line
-        nv_nw = 4   # cycle weights like the MX grid (defeats VMEM residency)
+    completed_core = run_mx(core, stop_on_budget=True)
+    cur_weights = None
+
+    # NVFP4 line — production int8 path, bf16 baselines SHARED with the
+    # MX grid at the same (M, K, N) so the two tables are mutually
+    # consistent (the round-2 log's separate NV baseline was not).
+    if nv_ms is not None and em.mx and not out_of_budget():
+        K, N = 5120, 5120
+        nv_nw = 8
         nvi8s, nvsbs, wTs = [], [], []
         for i in range(nv_nw):
             w = (jax.random.normal(jax.random.PRNGKey(99 + i), (N, K),
                                    jnp.bfloat16) * 0.05)
-            gsw = jnp.float32(6.0) / jnp.maximum(
-                jnp.max(jnp.abs(w.astype(jnp.float32))), 1e-6)
-            wqt, wst = P.fused_quantize_nv(w, HS[32], gsw, rot_size=32,
-                                           layout="kmajor")
+            wqt, wst = P.fused_quantize_nv(w, HS[32], jnp.float32(6.0),
+                                           rot_size=32, layout="kmajor")
             ni, nsb = I8.prepare_weight_nv_int8(wqt, wst)
             nvi8s.append(ni)
             nvsbs.append(nsb)
             wTs.append(w.T)
         nvp = {"nvi8": nvi8s, "nvsb": nvsbs, "wT": wTs}
-        for M in ms:
-            a = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.bfloat16)
+        for M in nv_ms:
+            if out_of_budget():
+                break
+            a = jax.random.normal(jax.random.PRNGKey(M), (M, K),
+                                  jnp.bfloat16)
 
             def nv_linear(d, j, p):
                 # production NV path (models/transformer.py _linear with
                 # weight_format="int8"): fused quantize+int8-encode
                 # kernel -> int8-MXU GEMM with rank-1 fp32 fixup
-                # (natural K order on both operands)
                 x = chain_dep(a, d)
-                xi, sx, _ = P.fused_quantize_nv_int8(x, HS[32],
-                                                     jnp.float32(6.0),
-                                                     rot_size=32)
-                return I8.matmul_mxf4_bf16_int8_kk(xi, p["nvi8"][j % nv_nw],
-                                                   sx, p["nvsb"][j % nv_nw],
-                                                   one)
+                xi, sx, _ = P.fused_quantize_nv_int8(
+                    x, HS[32], jnp.float32(6.0), rot_size=32)
+                return I8.matmul_mxf4_bf16_int8_kk(
+                    xi, p["nvi8"][j % nv_nw], sx, p["nvsb"][j % nv_nw],
+                    one)
 
             def bf16_linear(d, j, p):
                 return chain_dep(a, d) @ p["wT"][j % nv_nw]
 
             tq = bench_scan(nv_linear, nvp)
-            tb = bench_scan(bf16_linear, nvp)
-            log(f"NVFP4 {table} K={K} N={N} M={M:5d}: int8-path "
+            if (M, K, N) not in tbs:
+                tbs[(M, K, N)] = bench_scan(bf16_linear, nvp)
+            tb = tbs[(M, K, N)]
+            em.add_nv(K, N, M, tq, tb)
+            log(f"NVFP4 qwen3-32b K={K} N={N} M={M:5d}: int8-path "
                 f"{tq*1e6:9.1f}us ({2*M*N*K/tq/1e12:6.2f} TF/s) "
                 f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x")
+        del nvp, nvi8s, nvsbs, wTs
 
-    for M in sorted(by_m):
-        g = float(np.exp(np.mean(np.log(by_m[M]))))
-        log(f"geomean by M={M:5d}: {g:5.2f}x over {len(by_m[M])} shapes")
-    geomean = float(np.exp(np.mean(np.log(speedups))))
+    if completed_core and ext and not out_of_budget():
+        run_mx(ext, stop_on_budget=True)
+
+    note = None
+    if not completed_core:
+        note = "budget expired mid-core-grid; geomean over measured subset"
     log(f"total wall time {time.time()-t_start:.0f}s, "
-        f"{len(speedups)} grid points")
-    print(json.dumps({
-        "metric": "mxfp4_w4a4_linear_speedup_vs_bf16_geomean",
-        "value": round(geomean, 4),
-        "unit": "x",
-        "vs_baseline": round(geomean, 4),
-    }))
+        f"{len(em.mx)} MX + {len(em.nv)} NV points")
+    em.emit(note=note)
 
 
 if __name__ == "__main__":

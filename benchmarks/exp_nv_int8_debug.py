@@ -3,11 +3,12 @@ failed at the [256, 25600] abs_max case; CPU is bitwise-equal).
 
     python benchmarks/exp_nv_int8_debug.py
 """
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

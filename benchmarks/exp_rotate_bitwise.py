@@ -8,18 +8,17 @@ E: Pallas _rotate_tile_t (transposed orientation), transposed back
 
     python benchmarks/exp_rotate_bitwise.py
 """
-import functools
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import ml_dtypes
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

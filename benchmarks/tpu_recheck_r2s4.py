@@ -62,10 +62,30 @@ na, nsg, nsb = KQ.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
                                          method="abs_max")
 ma, msg, msb = E.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
                                         method="abs_max")
-assert np.array_equal(np.asarray(na), np.asarray(ma))
-assert np.array_equal(np.asarray(nsg), np.asarray(msg))
-assert np.array_equal(np.asarray(nsb), np.asarray(msb))
-print("OK fused nv int8 [256, 25600]")
+# KNOWN (ROUND2_NOTES session 3): Pallas NV at rot_size=16 is not
+# bitwise vs XLA emulation on-device — 1-ulp rotation-sum differences
+# flip e4m3 scale bytes (MX's pow2 floor absorbs them; NV rot32 IS
+# bitwise).  Gate on a tiny mismatch rate instead of exact equality.
+mm = float(np.mean(np.asarray(na) != np.asarray(ma)))
+mm_s = float(np.mean(np.asarray(nsg) != np.asarray(msg)))
+mm_b = float(np.mean(np.asarray(nsb) != np.asarray(msb)))
+assert mm < 1e-3 and mm_s < 1e-3 and mm_b < 1e-3, (mm, mm_s, mm_b)
+print(f"OK fused nv int8 [256, 25600] rot16 (mismatch codes {mm:.2e} "
+      f"scales {mm_s:.2e} fixup {mm_b:.2e} — known 1-ulp e4m3 flips)")
+na32, nsg32, nsb32 = KQ.fused_quantize_nv_int8(x, hadamard(32), gs,
+                                               rot_size=32,
+                                               method="abs_max")
+ma32, msg32, msb32 = E.fused_quantize_nv_int8(x, hadamard(32), gs,
+                                              rot_size=32,
+                                              method="abs_max")
+# rot32 shows the same 1-ulp class at a lower rate (~3e-5 measured
+# 2026-08-18; round-2's "rot32 bitwise" claim was a smaller probe).
+mm32 = float(np.mean(np.asarray(na32) != np.asarray(ma32)))
+mm32_b = float(np.mean(np.asarray(nsb32) != np.asarray(msb32)))
+assert mm32 < 1e-3 and mm32_b < 1e-3, (mm32, mm32_b)
+assert np.array_equal(np.asarray(nsg32), np.asarray(msg32))
+print(f"OK fused nv int8 [256, 25600] rot32 (mismatch codes {mm32:.2e} "
+      f"fixup {mm32_b:.2e})")
 
 # interop roundtrip on-device
 from qutlass_tpu import io as qio
@@ -191,14 +211,16 @@ for fmtname in ("bf16", "int8"):
     _, cache8 = prefill(cfg8, qp8, prompt, h, max_len=ctx, quantized=True,
                         cache_format=fmtname)
 
+    # qp8 must travel via ``params``: closure-captured weights embed as
+    # constants in the remote compile request (HTTP 413 above ~100 MB)
     def op(dep, i, params, _f=fmtname):
         tok = (profiling.chain_dep(params["t"], dep)).astype(jnp.int32)
-        lg, _ = decode_step(cfg8, qp8, params["c"], tok,
+        lg, _ = decode_step(cfg8, params["p"], params["c"], tok,
                             jnp.int32(ctx - 8 + (i % 4)), h, quantized=True)
         return lg[..., :1]
 
     t = profiling.benchmark(op, params={"t": jnp.zeros((b8,), jnp.int32),
-                                        "c": cache8})
+                                        "c": cache8, "p": qp8})
     print(f"decode step ctx={ctx} b={b8} cache={fmtname}: {t*1e6:9.1f} us")
 
 print("ALL SESSION-5 CHECKS OK")

@@ -144,7 +144,7 @@ def quantize_weights_mx(w: jax.Array, h: jax.Array, method: str = "quest"):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def quartet_linear(x: jax.Array, w: jax.Array, h: jax.Array,
                    method: str = "quest",
-                   grad_mode: str = "mxfp8") -> jax.Array:
+                   grad_mode: str = "int8") -> jax.Array:
     """y = q(x·H) @ q(w·H)^T with Quartet MXFP4 W4A4 quantization.
 
     x: [M, K] bf16, w: [N, K] bf16, h: [gs, gs] rotation.
@@ -152,7 +152,12 @@ def quartet_linear(x: jax.Array, w: jax.Array, h: jax.Array,
     picks the backward arithmetic (all three share the clip-mask STE
     and differentiate through the SAME dequantized forward operands):
 
-    - ``"mxfp8"`` (default): reference-parity Quartet — dY is
+    - ``"int8"`` (default): TPU-native fast path — dY is quantized per
+      output row to 8-bit integers (tighter than MXFP8's 3-bit
+      mantissa) and ALL THREE GEMMs of the training step ride the int8
+      MXU at ~2x bf16 peak.  This is the speed-of-light QAT step on
+      TPU (1.14x over pseudoquant on v5e — ROUND2_NOTES).
+    - ``"mxfp8"``: reference-parity Quartet — dY is
       square-double-quantized to MXFP8 per 32x32 tile
       (quartet_bwd_sm120.cu flow) and the GEMMs run at bf16 MXU rate
       (the TPU has no fp8 MXU, so MXFP8 operands are pre-decoded to
@@ -160,10 +165,6 @@ def quartet_linear(x: jax.Array, w: jax.Array, h: jax.Array,
     - ``"bf16"``: exact STE — dY enters the backward GEMMs unquantized
       in bf16.  More accurate than the reference's scheme, same speed
       class as ``mxfp8`` minus the square-double pass.
-    - ``"int8"``: TPU-native fast path — dY is quantized per output
-      row to 8-bit integers (tighter than MXFP8's 3-bit mantissa) and
-      ALL THREE GEMMs of the training step ride the int8 MXU at ~2x
-      bf16 peak.  This is the speed-of-light QAT step on TPU.
     """
     y, _ = _quartet_fwd_impl(x, w, h, method)
     return y
