@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import codecs as C
 from ..utils import ceil_div, round_up
-from .tuning import quantize_int8_tiles, quantize_tiles
+from .tuning import (quantize_int8_oneshot_bm, quantize_int8_tiles,
+                     quantize_tiles)
 
 
 def _rotate_tile(x, h128):
@@ -301,6 +302,80 @@ def fused_quantize_nv(a: jax.Array, h: jax.Array, global_scale: jax.Array, *,
 # the quantize.  models/_linear therefore keeps the two-pass
 # composition; this op is public API for operand producers.
 
+def _rotate_chunk_t(x_ref, h, c0: int, w: int):
+    """Rotate columns [c0, c0+w) of the row-major block -> [w, bm] f32.
+
+    Static offsets; each 128-wide slice feeds the MXU with H^T on the
+    left (dot_general contracting x's lane dim), so the K-major
+    orientation comes out of the systolic array directly — no explicit
+    bf16 transpose (measured 5 us cheaper than transpose-then-dot at
+    M=2048 K=5120, exp_quant_anatomy_r3.py).
+    """
+    blocks = [lax.dot_general(h, x_ref[:, c0 + g * 128:c0 + (g + 1) * 128],
+                              (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+              for g in range(w // 128)]
+    return jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+
+
+def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
+                                     *, method, k):
+    """Single-shot whole-K quantize -> int8 operand (no revisit, no
+    separate encode pass).
+
+    The grid runs over row blocks only; all of K sits in this one
+    invocation, so the row's max group exponent is known in-block and
+    the finished int8 operand is emitted directly — one HBM write,
+    no e2m1-codes round trip.  Pass A rotates chunk-wise and computes
+    the scale bytes; pass B RE-ROTATES each chunk and emits int8.
+    Recomputing the rotation beats stashing it: the extra MXU work
+    (~13 us at M=2048 K=5120) is cheaper than the f32 scratch
+    round-trip (~24 us) — exp_oneshot_variants_r3.py: recompute 119 us
+    vs scratch 143 vs two-pass 145.
+
+    Bitwise contract: identical to ``fused_quantize_mx(kmajor_codes)``
+    + ``ops.int8path.encode_int8`` — same group-sum tree (sublane
+    axis), same codec formulas, same f32 rounding points (the pow2
+    rescale of a 4-bit integer is exact in f32 and bf16 alike), and
+    the re-rotation is the identical MXU contraction both times.
+    """
+    bm = x_ref.shape[0]
+    h = h_ref[...]
+    bkc = next(b for b in (512, 384, 256, 128) if k % b == 0)
+    gc = bkc // 32
+    byte_chunks = []
+    for c in range(k // bkc):
+        xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)     # [bkc, bm] f32
+        g = xt.reshape(gc, 32, bm)
+        if method == "quest":
+            scale = C.mx_scale_quest(jnp.sum(g, axis=1),
+                                     jnp.sum(g * g, axis=1), 32.0)
+        else:
+            scale = C.mx_scale_absmax(jnp.max(jnp.abs(g), axis=1))
+        _, byte = C.pow2_floor_e8m0(scale)
+        byte_chunks.append(byte)                 # [gc, bm] i32
+    byte = (jnp.concatenate(byte_chunks, axis=0) if len(byte_chunks) > 1
+            else byte_chunks[0])                 # [k/32, bm]
+    e = jnp.max(byte, axis=0, keepdims=True)     # [1, bm] row max byte
+    inv = C.e8m0_recip_f32(byte)
+    # m * 2^(3-d) is exact f32 for d <= 3 and RTNE-rounds deeper — same
+    # argument as the revisit kernel's finish
+    f = jnp.exp2((3 - (e - byte)).astype(jnp.float32))
+    s_ref[...] = byte.astype(jnp.uint8)
+    sa_ref[...] = jnp.exp2((e - 131).astype(jnp.float32))  # 2^(E-4)
+
+    for c in range(k // bkc):
+        xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)
+        q = (xt.reshape(gc, 32, bm) * inv[c * gc:(c + 1) * gc][:, None, :]
+             ).reshape(bkc, bm)
+        if method != "quest":
+            q = q * 3.0
+        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
+        a = jnp.round((m2.reshape(gc, 32, bm)
+                       * f[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm))
+        a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int32).astype(jnp.int8)
+
+
 def _quantize_mx_int8_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref, emax,
                              *, method, nk):
     j = pl.program_id(1)
@@ -363,6 +438,63 @@ def _quantize_mx_int8_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref, emax,
 
         lax.fori_loop(0, nk, body, 0)
         sa_ref[...] = jnp.exp2((e - 131).astype(jnp.float32))  # 2^(E-4)
+
+
+def _quantize_nv_int8_oneshot_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref,
+                                     sg_ref, *, method, k):
+    """Single-shot whole-K NVFP4 quantize -> int8 operand.
+
+    Same structure as the MX oneshot (grid over row blocks, rotation
+    recomputed in pass B).  Pass A needs no codes at all: within a
+    group, ``|v|`` is maximal at the group amax because the e2m1 RTNE
+    rounding is monotone in |q|, so the row max dequant value is
+    ``max_g 0.5 * s_g * m2(amax_g * mul_g)`` — computed on the [K/16,
+    bm] group arrays (1/16 the elements).  A NaN byte zeroes ``s_g``
+    exactly like the emulation's per-element path, so the shortcut is
+    bitwise-faithful there too.
+
+    Bitwise contract: identical to ``fused_quantize_nv(kmajor)`` +
+    ``ops.int8path.encode_nv_int8``.
+    """
+    bm = x_ref.shape[0]
+    h = h_ref[...]
+    bkc = next(b for b in (512, 384, 256, 128) if k % b == 0)
+    gc = bkc // 16
+    byte_chunks, mul_chunks = [], []
+    vmax = None
+    for c in range(k // bkc):
+        xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)     # [bkc, bm] f32
+        g = xt.reshape(gc, 16, bm)
+        amax = jnp.max(jnp.abs(g), axis=1)               # [gc, bm]
+        if method == "quest":
+            byte, mul = C.nv_quest_scale_bytes(jnp.sum(g, axis=1),
+                                               jnp.sum(g * g, axis=1))
+        else:
+            byte, mul = C.nv_absmax_scale_bytes(amax, gs_ref[0, 0])
+        s = C.e4m3_decode_f32(byte.astype(jnp.int32))
+        s = jnp.where(jnp.isnan(s), 0.0, s)
+        m2max = C.e2m1_codes_to_m2(
+            C.e2m1_rtne_codes(amax * mul)).astype(jnp.float32)
+        vm = jnp.max(0.5 * s * m2max, axis=0, keepdims=True)  # [1, bm]
+        vmax = vm if vmax is None else jnp.maximum(vmax, vm)
+        byte_chunks.append(byte)
+        mul_chunks.append(mul)
+    sigma = vmax / 127.0                                 # [1, bm]
+    inv = jnp.where(sigma > 0, 1.0 / sigma, 0.0)
+    s_ref[...] = (jnp.concatenate(byte_chunks, axis=0)
+                  if len(byte_chunks) > 1 else byte_chunks[0]
+                  ).astype(jnp.uint8)
+    sg_ref[...] = sigma
+    for c in range(k // bkc):
+        xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)
+        q = (xt.reshape(gc, 16, bm) * mul_chunks[c][:, None, :]
+             ).reshape(bkc, bm)
+        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
+        s = C.e4m3_decode_f32(byte_chunks[c].astype(jnp.int32))
+        s = jnp.where(jnp.isnan(s), 0.0, s)
+        v = (m2.reshape(gc, 16, bm) * (0.5 * s)[:, None, :]).reshape(bkc, bm)
+        a = jnp.round(v * inv)
+        a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int32).astype(jnp.int8)
 
 
 def _quantize_nv_int8_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref, sg_ref,
@@ -467,6 +599,31 @@ def fused_quantize_mx_int8(a: jax.Array, h: jax.Array, *, rot_size: int,
     k = a.shape[-1]
     rows = a.size // k
     x2 = a.reshape(rows, k)
+    bm1 = quantize_int8_oneshot_bm(rows, k)
+    if bm1:
+        out_shapes = [jax.ShapeDtypeStruct((k, rows), jnp.int8),
+                      jax.ShapeDtypeStruct((k // 32, rows), jnp.uint8),
+                      jax.ShapeDtypeStruct((1, rows), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((k, bm1), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 32, bm1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)]
+        ai, sb, sa = pl.pallas_call(
+            functools.partial(_quantize_mx_int8_oneshot_kernel,
+                              method=method, k=k),
+            grid=(ceil_div(rows, bm1),),
+            in_specs=[
+                pl.BlockSpec((bm1, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+        )(x2, _h128(h, rot_size))
+        return ai, sa.reshape(rows), sb
     bm, bk = quantize_int8_tiles(rows, k)
     if _int8_tiles_infeasible(rows, k, bm, bk):
         # no lane-legal bm fits the double-buffered [k, bm] out block
@@ -510,6 +667,34 @@ def fused_quantize_nv_int8(a: jax.Array, h: jax.Array,
     k = a.shape[-1]
     rows = a.size // k
     x2 = a.reshape(rows, k)
+    bm1 = quantize_int8_oneshot_bm(rows, k)
+    if bm1:
+        gs = jnp.asarray(global_scale, jnp.float32).reshape(1, 1)
+        out_shapes = [jax.ShapeDtypeStruct((k, rows), jnp.int8),
+                      jax.ShapeDtypeStruct((k // 16, rows), jnp.uint8),
+                      jax.ShapeDtypeStruct((1, rows), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((k, bm1), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 16, bm1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)]
+        ai, sb, sg = pl.pallas_call(
+            functools.partial(_quantize_nv_int8_oneshot_kernel,
+                              method=method, k=k),
+            grid=(ceil_div(rows, bm1),),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm1, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+        )(gs, x2, _h128(h, rot_size))
+        return ai, sg.reshape(rows), sb
     bm, bk = quantize_int8_tiles(rows, k)
     if _int8_tiles_infeasible(rows, k, bm, bk):
         # no lane-legal, VMEM-fitting bm — compose the two passes

@@ -110,6 +110,32 @@ def quantize_int8_tiles(rows: int, k: int,
     return bm, bk
 
 
+def quantize_int8_oneshot_bm(rows: int, k: int,
+                             kind: str | None = None) -> int:
+    """Row-block size for the single-shot whole-K quantize+int8 kernel,
+    or 0 when the shape doesn't fit.
+
+    The kernel holds the entire K extent of one row block at once: the
+    bf16 input block (double-buffered) and the int8 output block
+    (double-buffered); the rotation is recomputed chunk-wise rather
+    than stashed, so only ~5 f32 chunk intermediates are live — so
+    feasibility is a straight VMEM sum.  bm is pinned to 128 (the
+    K-major output's lane dim must be 128-divisible) or the whole row
+    count when below.  Covers K up to ~10k on v5e (all qwen3/llama
+    hidden sizes); larger K falls back to the revisit kernel.
+    """
+    if k % 128 != 0:
+        return 0
+    _, tile_cap = vmem_budgets(kind)
+    bm = 128 if rows >= 128 else rows
+    if bm % 128 != 0 and bm != rows:
+        return 0
+    # in bf16 x2 + out int8 x2 + ~5 live f32 chunk intermediates
+    bkc = min(k, 512)
+    need = (2 * 2 + 2 * 1) * k * bm + 20 * bkc * bm
+    return bm if need <= tile_cap else 0
+
+
 def fused_linear_tiles(m: int, n: int, k: int,
                        kind: str | None = None) -> tuple[int, int, int]:
     """(bm, bn, bk) for the single-kernel quantize+GEMM linear (v2).

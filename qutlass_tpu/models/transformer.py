@@ -304,17 +304,22 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
     a_mx = (1.0 if method == "quest" else 1 / 3) * \
         (1 / 3 if "am" in w else 1.0)
     if "wi8" in w:
-        # int8-MXU evaluator (ops/int8path.py): quantize to unpacked
-        # codes, XLA encode, whole-K int8 dot + rank-1 fixup.  Beats
-        # bf16 at every M.  Deliberately TWO-pass: XLA overlaps the
-        # encode's VPU work under the int8 dot (composed E2E 436 us at
-        # M=2048 K=N=5120 vs 499 sum-of-parts), which the single fused
-        # quantize+encode kernel cannot match (458 us — its in-kernel
-        # rescale serializes against the quantize;
-        # benchmarks/exp_fused_int8_quant2.py).
-        cq, cs = q.fusedQuantizeMx(x2, h, method=method,
-                                   layout="kmajor_codes")
-        ai, sa, _ = _i8.encode_int8(cq, cs, kmajor=True)
+        # int8-MXU evaluator (ops/int8path.py): quantize straight to
+        # the int8 operand, whole-K int8 dot + rank-1 fixup.  Beats
+        # bf16 at every M.  The single-shot whole-K kernel (round 3)
+        # emits int8 in one pass — no codes round-trip — and composes
+        # fastest whenever it fits VMEM (K <= ~10k on v5e); otherwise
+        # the two-pass composition wins over the revisit kernel: XLA
+        # overlaps the separate encode's VPU work under the int8 dot
+        # (436 vs 458 us at M=2048 K=N=5120;
+        # benchmarks/exp_fused_int8_quant2.py, exp_oneshot_variants_r3).
+        from ..kernels.tuning import quantize_int8_oneshot_bm
+        if quantize_int8_oneshot_bm(x2.shape[0], k):
+            ai, sa, _ = q.fusedQuantizeMxInt8(x2, h, method=method)
+        else:
+            cq, cs = q.fusedQuantizeMx(x2, h, method=method,
+                                       layout="kmajor_codes")
+            ai, sa, _ = _i8.encode_int8(cq, cs, kmajor=True)
         y = _i8.matmul_mxf4_bf16_int8_kmajor(ai, w["wi8"], sa, w["wsb"],
                                              jnp.float32(a_mx),
                                              out_dtype=od)

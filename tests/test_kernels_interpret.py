@@ -199,9 +199,8 @@ def test_backward_qt_batched(data):
 
 @pytest.mark.parametrize("method", ["quest", "abs_max"])
 def test_quantize_mx_int8_fused(data, method):
-    """Fused quantize+int8-encode kernel == emulation twin, bitwise
-    (operand, row scale, scale bytes) — exercises the revisited
-    full-K output block and the running-max scratch across K steps."""
+    """Fused quantize+int8-encode kernel (single-shot whole-K path) ==
+    emulation twin, bitwise (operand, row scale, scale bytes)."""
     x, h, _ = data
     pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
                                              method=method)
@@ -226,11 +225,36 @@ def test_quantize_nv_int8_fused(data, method):
     np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
 
 
+@pytest.mark.parametrize("method", ["quest", "abs_max"])
+def test_quantize_int8_fused_revisit_path(data, method, monkeypatch):
+    """Large K routes to the revisited-block kernel (oneshot over
+    VMEM); force that path on a small shape — still bitwise equal."""
+    x, h, _ = data
+    monkeypatch.setattr(KQ, "quantize_int8_oneshot_bm", lambda *a, **k: 0)
+    pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
+                                             method=method)
+    ea, esa, esb = E.fused_quantize_mx_int8(x, h, rot_size=32,
+                                            method=method)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ea))
+    np.testing.assert_array_equal(np.asarray(psa), np.asarray(esa))
+    np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
+    h16 = bf16_hadamard(16)
+    gs = jnp.asarray(1.7, jnp.float32)
+    na, nsg, nsb = KQ.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                             method=method)
+    ma, msg, msb = E.fused_quantize_nv_int8(x, h16, gs, rot_size=16,
+                                            method=method)
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(ma))
+    np.testing.assert_array_equal(np.asarray(nsg), np.asarray(msg))
+    np.testing.assert_array_equal(np.asarray(nsb), np.asarray(msb))
+
+
 def test_quantize_int8_fused_huge_k_fallback(monkeypatch):
     """When no lane-legal bm fits the VMEM budget (huge K), the fused
     wrappers compose the two-pass path — still bitwise equal."""
     rng = np.random.default_rng(5)
     x, h = randn_bf16(rng, 192, 1536), bf16_hadamard(32)
+    monkeypatch.setattr(KQ, "quantize_int8_oneshot_bm", lambda *a, **k: 0)
     monkeypatch.setattr(KQ, "quantize_int8_tiles", lambda *a, **k: (64, 512))
     pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
                                              method="quest")
