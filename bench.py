@@ -188,6 +188,7 @@ def main():
     log(f"platform={jax.default_backend()} "
         f"device={jax.devices()[0].device_kind} budget={budget:.0f}s")
 
+    from qutlass_tpu.kernels.tuning import quantize_int8_oneshot_bm
     from qutlass_tpu.profiling import benchmark as _benchmark, chain_dep
 
     def bench_scan(op, params=None):
@@ -272,12 +273,22 @@ def main():
                 a = jax.random.normal(jax.random.PRNGKey(M), (M, K),
                                       jnp.bfloat16)
 
+                # mirror the production _linear routing
+                # (models/transformer.py): single-shot whole-K
+                # quantize->int8 kernel when it fits VMEM, else the
+                # two-pass composition that XLA overlaps under the dot
+                oneshot = on_tpu and quantize_int8_oneshot_bm(M, K)
+
                 def quant_linear(d, j, p):
                     x = chain_dep(a, d)
-                    cq, cs = P.fused_quantize_mx(
-                        x, h, rot_size=had, method="quest",
-                        layout="kmajor_codes")
-                    ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+                    if oneshot:
+                        ai, sa, _ = P.fused_quantize_mx_int8(
+                            x, h, rot_size=had, method="quest")
+                    else:
+                        cq, cs = P.fused_quantize_mx(
+                            x, h, rot_size=had, method="quest",
+                            layout="kmajor_codes")
+                        ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
                     return I8.matmul_mxf4_bf16_int8_kmajor(
                         ai, p["wi8"][j % nw], sa, p["wsb"][j % nw], one)
 

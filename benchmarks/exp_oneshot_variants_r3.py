@@ -52,6 +52,59 @@ def _m2_direct(q):
     return jnp.where(q < 0, -r, r)
 
 
+def mk_shift_emit(bm, bkc):
+    """Recompute-rotation variant with an INTEGER emit: the f32 rescale
+    m2 * 2^(3-d) -> round -> i32 -> i8 chain is replaced by the exact
+    integer shift m2 << (3-d) (d = e - byte in 0..3), saving the
+    int->f32 cast, f32 mul, round and f32->i32 cast per element.
+    Variable-distance vector shifts lower in this Mosaic (validated by
+    the scaled decoders, benchmarks/tpu_recheck_r2s4 on-device)."""
+    def kern(x_ref, h_ref, a_ref, s_ref, sa_ref, *, k):
+        h = h_ref[...]
+        byte_chunks = []
+        for gb in range(k // bkc):
+            xt = _rot_chunk(x_ref, h, gb * bkc, bkc)
+            g = xt.reshape(bkc // 32, 32, bm)
+            scale = C.mx_scale_quest(jnp.sum(g, axis=1),
+                                     jnp.sum(g * g, axis=1), 32.0)
+            _, byte = C.pow2_floor_e8m0(scale)
+            byte_chunks.append(byte)
+        byte = (jnp.concatenate(byte_chunks, axis=0) if len(byte_chunks) > 1
+                else byte_chunks[0])
+        e = jnp.max(byte, axis=0, keepdims=True)
+        inv = C.e8m0_recip_f32(byte)
+        sh = (3 - (e - byte))                        # i32 [k/32, bm], 0..3
+        s_ref[...] = byte.astype(jnp.uint8)
+        sa_ref[...] = jnp.exp2((e - 131).astype(jnp.float32))
+        gc = bkc // 32
+        for c in range(k // bkc):
+            xt = _rot_chunk(x_ref, h, c * bkc, bkc)
+            q = (xt.reshape(gc, 32, bm) * inv[c * gc:(c + 1) * gc][:, None, :]
+                 ).reshape(bkc, bm)
+            m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q))
+            a = (m2.reshape(gc, 32, bm)
+                 << sh[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm)
+            a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int8)
+
+    return pl.pallas_call(
+        functools.partial(kern, k=K),
+        grid=(M // bm,),
+        in_specs=[pl.BlockSpec((bm, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((128, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((K, bm), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((K // 32, bm), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, bm), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((K, M), jnp.int8),
+                   jax.ShapeDtypeStruct((K // 32, M), jnp.uint8),
+                   jax.ShapeDtypeStruct((1, M), jnp.float32)],
+    )
+
+
 def mk_recompute(bm, bkc, direct_m2):
     def kern(x_ref, h_ref, a_ref, s_ref, sa_ref, *, k):
         h = h_ref[...]
@@ -168,6 +221,9 @@ variants = [
     ("recomp_m2_128", mk_recompute(128, 512, True)),
     ("recomp_m2_256", mk_recompute(256, 512, True)),
     ("scratch_m2", mk_scratch_m2(128, 512)),
+    ("shift_bm128", mk_shift_emit(128, 512)),
+    ("shift_bm256", mk_shift_emit(256, 512)),
+    ("shift_bm512", mk_shift_emit(512, 512)),
 ]
 for name, fn in variants:
     try:

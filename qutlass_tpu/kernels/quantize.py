@@ -335,9 +335,14 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
 
     Bitwise contract: identical to ``fused_quantize_mx(kmajor_codes)``
     + ``ops.int8path.encode_int8`` — same group-sum tree (sublane
-    axis), same codec formulas, same f32 rounding points (the pow2
-    rescale of a 4-bit integer is exact in f32 and bf16 alike), and
-    the re-rotation is the identical MXU contraction both times.
+    axis), same codec formulas, and the int8 emit ``m2 << (3 - d)`` is
+    the EXACT integer form of the encode's pow2 rescale (``d = E -
+    byte_e <= 3`` by construction of E, |m2| <= 12, so the shifted
+    value <= 96 never rounds in any arithmetic); the re-rotation is
+    the identical MXU contraction both times.  The integer emit
+    replaces the int->f32 cast, f32 multiply, round and f32->i32 cast
+    of the first oneshot version per element: 120 -> 98 us at M=2048
+    K=5120 with bm=256 (exp_oneshot_variants_r3.py, bitwise-checked).
     """
     bm = x_ref.shape[0]
     h = h_ref[...]
@@ -358,9 +363,7 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
             else byte_chunks[0])                 # [k/32, bm]
     e = jnp.max(byte, axis=0, keepdims=True)     # [1, bm] row max byte
     inv = C.e8m0_recip_f32(byte)
-    # m * 2^(3-d) is exact f32 for d <= 3 and RTNE-rounds deeper — same
-    # argument as the revisit kernel's finish
-    f = jnp.exp2((3 - (e - byte)).astype(jnp.float32))
+    sh = 3 - (e - byte)                          # i32 [k/32, bm], 0..3
     s_ref[...] = byte.astype(jnp.uint8)
     sa_ref[...] = jnp.exp2((e - 131).astype(jnp.float32))  # 2^(E-4)
 
@@ -370,10 +373,10 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
              ).reshape(bkc, bm)
         if method != "quest":
             q = q * 3.0
-        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
-        a = jnp.round((m2.reshape(gc, 32, bm)
-                       * f[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm))
-        a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int32).astype(jnp.int8)
+        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q))
+        a = (m2.reshape(gc, 32, bm)
+             << sh[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm)
+        a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int8)
 
 
 def _quantize_mx_int8_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref, emax,

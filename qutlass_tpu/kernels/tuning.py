@@ -119,21 +119,35 @@ def quantize_int8_oneshot_bm(rows: int, k: int,
     bf16 input block (double-buffered) and the int8 output block
     (double-buffered); the rotation is recomputed chunk-wise rather
     than stashed, so only ~5 f32 chunk intermediates are live — so
-    feasibility is a straight VMEM sum.  bm is pinned to 128 (the
-    K-major output's lane dim must be 128-divisible) or the whole row
-    count when below.  Covers K up to ~10k on v5e (all qwen3/llama
-    hidden sizes); larger K falls back to the revisit kernel.
+    feasibility is a straight VMEM sum.  bm is 256 when rows divide
+    (fastest measured), else 128 (the K-major output's lane dim must be
+    128-divisible), else the whole row count when below 128.  Covers K
+    up to ~20k at bm=128 (all qwen3/llama hidden + most intermediate
+    sizes); larger K falls back to the revisit kernel / two-pass
+    composition.
     """
     if k % 128 != 0:
         return 0
+    # dedicated cap: the oneshot holds no weight tiles, so it can take
+    # more than the GEMM tile budget.  bm=256 K=5120 (10.5 MB) and
+    # bm=512 K=5120 (21 MB) both ran on v5e (exp_oneshot_variants_r3);
+    # 16 MB keeps a 6x margin against the 128 MB/core VMEM.
     _, tile_cap = vmem_budgets(kind)
+    cap = max(tile_cap, 16_000_000)
+    bkc = min(k, 512)
+
+    def need(bm):
+        # in bf16 x2 + out int8 x2 + ~5 live f32 chunk intermediates
+        return (2 * 2 + 2 * 1) * k * bm + 20 * bkc * bm
+
+    # bm=256 measured 18% faster than 128 at M=2048 K=5120 (98 vs
+    # 119 us, exp_oneshot_variants_r3) — prefer it when rows divide
+    if rows % 256 == 0 and need(256) <= cap:
+        return 256
     bm = 128 if rows >= 128 else rows
     if bm % 128 != 0 and bm != rows:
         return 0
-    # in bf16 x2 + out int8 x2 + ~5 live f32 chunk intermediates
-    bkc = min(k, 512)
-    need = (2 * 2 + 2 * 1) * k * bm + 20 * bkc * bm
-    return bm if need <= tile_cap else 0
+    return bm if need(bm) <= cap else 0
 
 
 def fused_linear_tiles(m: int, n: int, k: int,

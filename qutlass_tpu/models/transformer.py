@@ -210,10 +210,30 @@ def _rotate_rows(x, h):
     return out.reshape(x.shape)
 
 
+def _pinned(x):
+    """Fusion pin: wrap a value in ``optimization_barrier`` so XLA
+    cannot fuse across it.
+
+    Whole-model numerics are fusion-context sensitive (docs/NUMERICS.md):
+    XLA schedules the f32 reductions (rms-norm mean, softmax) differently
+    depending on what surrounds them (Pallas custom call vs XLA int8
+    dot), flipping 1-ulp quantizer inputs; W4A4 amplifies any such seed
+    difference chaotically (a flipped bf16 tie flips an fp4 code — a
+    ~6% value step).  Pinning the reduction between barriers isolates it
+    into its own fusion, compiled identically in every surrounding
+    context, which restores bitwise agreement between the int8-MXU and
+    fp4-decode evaluators (benchmarks/agreement_gate.py).  Enabled by
+    ``QUTLASS_TPU_PIN_NORMS`` (read at trace time).
+    """
+    if os.environ.get("QUTLASS_TPU_PIN_NORMS", "0") != "0":
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def _rms_norm(x, w, eps):
-    xf = x.astype(jnp.float32)
+    xf = _pinned(x).astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    return _pinned((xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w)
 
 
 def _rope(x, positions, theta):
@@ -247,6 +267,12 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         return jax.lax.dot_general(
             x, w, (((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(od)
+    # under QUTLASS_TPU_PIN_NORMS the quantized linear is isolated
+    # between barriers as well: its XLA-expressed pieces (the int8 dot
+    # epilogue, encode composition) then compile exactly like the
+    # eager op they were bitwise-tested against, instead of being
+    # re-fused/re-associated into the surrounding graph (see _pinned)
+    x = _pinned(x)
     if "nvi8" in w:
         k, n = w["nvi8"].shape
         wqt = wst = None
@@ -296,7 +322,7 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
                                          layout="kmajor")
             y = q.matmul_nvf4_bf16_kmajor(xqt, wqt, xst, wst, alpha,
                                           out_dtype=od)
-        return y.reshape(*x.shape[:-1], n)
+        return _pinned(y).reshape(*x.shape[:-1], n)
     # abs_max stores 3x-scaled codes: 1/3 per operand — the WEIGHT-side
     # factor comes from the stored "am" marker (set at quantize time),
     # the activation-side from the runtime method; a method mismatch
@@ -323,13 +349,70 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         y = _i8.matmul_mxf4_bf16_int8_kmajor(ai, w["wi8"], sa, w["wsb"],
                                              jnp.float32(a_mx),
                                              out_dtype=od)
-        return y.reshape(*x.shape[:-1], n)
+        return _pinned(y).reshape(*x.shape[:-1], n)
     # composed kmajor quantize + decode GEMM (the fp4-weight path)
     xqt, xst = q.fusedQuantizeMx(x2, h, method=method, layout="kmajor")
     y = q.matmul_mxf4_bf16_kmajor(xqt, wqt, xst, wst,
                                   jnp.full((1,), a_mx, jnp.float32),
                                   out_dtype=od)
-    return y.reshape(*x.shape[:-1], n)
+    return _pinned(y).reshape(*x.shape[:-1], n)
+
+
+def _flash_eligible(cfg: ModelConfig, t: int) -> bool:
+    """Route prefill attention through the Pallas TPU flash kernel?
+
+    The einsum path materializes fp32 scores [b, g, rep, t, t] in HBM
+    (~0.5 GB/layer at t=2048 for the Qwen3-8B geometry); the flash
+    kernel tiles the online softmax in VMEM and wins 1.05-1.13x on the
+    whole prefill in exactly that regime (benchmarks/exp_flashattn.py).
+    ``QUTLASS_TPU_FLASH=0`` forces the einsum path, ``1`` forces flash
+    wherever legal; default ``auto`` uses flash on TPU for full-causal
+    prefill at t >= 512 (below that the scores buffer fits cheap and
+    kernel launch overhead dominates).
+    """
+    flag = os.environ.get("QUTLASS_TPU_FLASH", "auto")
+    if flag == "0":
+        return False
+    from ..ops import dispatch
+    if not dispatch.on_tpu():
+        return False
+    if cfg.sliding_window is not None:
+        return False  # window mask: einsum path handles it
+    if cfg.head_dim % 128 or t % 512:
+        return False  # kernel block divisibility (block_q = 512)
+    # measured e2e (bench_prefill, v5e, 4 layers, b=1): flash LOSES at
+    # t=512 (3.95 vs 3.42 ms quantized) and wins ~3% at t=2048 — the
+    # einsum path's score traffic matters less than its fused-softmax
+    # schedule until t is large.  Flash from t >= 2048 only.
+    return flag == "1" or t >= 2048
+
+
+def _prefill_attention(cfg: ModelConfig, qh, kh, vh, causal):
+    """Grouped-query causal attention for prefill, [b, t, h, d] layout.
+
+    Two implementations with identical math: the XLA einsum path (no
+    materialized KV repeat, fp32 scores) and the Pallas TPU flash
+    kernel (online softmax, KV repeated to full heads — rep-fold more
+    KV reads but no t*t scores traffic, a large net win at long t).
+    """
+    b, t = qh.shape[0], qh.shape[1]
+    rep = cfg.num_heads // cfg.num_kv_heads
+    if _flash_eligible(cfg, t):
+        from jax.experimental.pallas.ops.tpu import flash_attention as FA
+        qt = qh.transpose(0, 2, 1, 3)
+        kt = jnp.repeat(kh.transpose(0, 2, 1, 3), rep, axis=1)
+        vt = jnp.repeat(vh.transpose(0, 2, 1, 3), rep, axis=1)
+        o = FA.flash_attention(qt, kt, vt, causal=True,
+                               sm_scale=cfg.head_dim ** -0.5)
+        return o.transpose(0, 2, 1, 3).reshape(b, t, -1)
+    # grouped attention without materializing the rep-fold KV repeat
+    q5 = qh.reshape(b, t, cfg.num_kv_heads, rep, cfg.head_dim)
+    scores = jnp.einsum("btgrd,bsgd->bgrts", q5.astype(jnp.float32),
+                        kh.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
+    scores = jnp.where(causal[None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.einsum("bgrts,bsgd->btgrd", probs, vh.astype(jnp.float32))
+    return attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "quantized", "method",
@@ -366,16 +449,7 @@ def forward(cfg: ModelConfig, params, tokens: jax.Array, h: jax.Array = None,
         qh = _rope(qh, positions, cfg.rope_theta)
         kh = _rope(kh, positions, cfg.rope_theta)
 
-        rep = cfg.num_heads // cfg.num_kv_heads
-        # grouped attention without materializing the rep-fold KV repeat
-        q5 = qh.reshape(b, t, cfg.num_kv_heads, rep, cfg.head_dim)
-        scores = jnp.einsum("btgrd,bsgd->bgrts", q5.astype(jnp.float32),
-                            kh.astype(jnp.float32)) * (cfg.head_dim ** -0.5)
-        scores = jnp.where(causal[None, None, None], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bgrts,bsgd->btgrd", probs,
-                          vh.astype(jnp.float32)).astype(x.dtype)
-        attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
+        attn = _prefill_attention(cfg, qh, kh, vh, causal).astype(x.dtype)
         x = x + _linear(attn, layer["o_proj"], h, method, quantized)
 
         xin = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)

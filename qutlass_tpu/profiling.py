@@ -117,6 +117,68 @@ def benchmark(op, *, iters: int = 8, chain: int = 8, repeats: int = 5,
     return max(t5 - t1, 1e-9) / (4 * iters * chain)
 
 
+def benchmark_quantiles(op, *, iters: int = 8, chain: int = 8,
+                        repeats: int = 7, quantiles=(0.2, 0.5, 0.8),
+                        params=None):
+    """Like :func:`benchmark` but returns per-op-time QUANTILES over
+    paired repeats instead of the single min-slope point.
+
+    The reference's measurement discipline reports 0.5/0.2/0.8 timing
+    quantiles (reference benchmarks/bench_mxfp4_sm120.py:109-125); the
+    slope harness here has a different noise source — the tunnel's
+    ~10 ms dispatch jitter enters each (loop1, loop5) PAIR — so the
+    quantiles are taken over per-repeat slope estimates, each repeat
+    pairing one loop1 run with one adjacent loop5 run (fresh dep values
+    per run to defeat the value-addressed execution cache).
+    """
+    import inspect
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    slopes = []
+
+    nargs = sum(1 for p in inspect.signature(op).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
+
+    def call(c, j, p):
+        if params is not None:
+            return op(c, j, p) if nargs >= 3 else op(c, p)
+        return op(c, j) if nargs >= 2 else op(c)
+
+    def make_loop(n):
+        @jax.jit
+        def loop(dep, p):
+            def body(c, _):
+                for j in range(chain):
+                    out = call(c, j, p)
+                    c = jnp.sum(out, dtype=jnp.float32).reshape(1) * 1e-30
+                return c, None
+            c, _ = lax.scan(body, dep, None, length=n)
+            return c
+        return loop
+
+    def run(loop, d):
+        return float(np.asarray(loop(d, params))[0])
+
+    loop1, loop5 = make_loop(iters), make_loop(5 * iters)
+    run(loop1, jnp.zeros((1,), jnp.float32))
+    run(loop5, jnp.zeros((1,), jnp.float32))
+    for r in range(repeats):
+        d = jnp.full((1,), 1000.0 + r, jnp.float32)
+        t0 = time.perf_counter()
+        run(loop1, d)
+        t1 = time.perf_counter() - t0
+        d = jnp.full((1,), 2000.0 + r, jnp.float32)
+        t0 = time.perf_counter()
+        run(loop5, d)
+        t5 = time.perf_counter() - t0
+        slopes.append(max(t5 - t1, 1e-9) / (4 * iters * chain))
+    return tuple(float(np.quantile(slopes, q)) for q in quantiles)
+
+
 def tflops(m: int, n: int, k: int, seconds: float) -> float:
     """Reference TFLOP/s convention (bench_mxfp4_sm120.py:127-128)."""
     return 2 * m * n * k / seconds / 1e12
