@@ -189,6 +189,22 @@ def pow2_floor_e8m0(scale: jax.Array) -> tuple[jax.Array, jax.Array]:
     return _bitcast(bits, jnp.float32), bits >> 23
 
 
+def pow2_f32(n: jax.Array) -> jax.Array:
+    """EXACT fp32 2^n for integer ``n`` (clamped to [-127, 127]).
+
+    ``jnp.exp2`` is an APPROXIMATION: measured 1 ulp off at many
+    integer arguments (bf16: even at +2; f32: most args <= -14), and
+    the approximation differs between lowerings (XLA CPU vs TPU vs
+    Mosaic) — a d=7 deficit group rounded m2=8 to 0 through the f32
+    kernel but to 1 through the bf16 XLA encode, breaking the bitwise
+    oneshot == two-pass contract.  Bit-construct the power instead.
+    ``n <= -127`` clamps to 2^-127; callers multiply small integers
+    where the product rounds to 0 either way.
+    """
+    b = jnp.clip(n.astype(jnp.int32) + 127, 0, 254)
+    return e8m0_decode_f32(b)
+
+
 def e8m0_recip_f32(byte: jax.Array) -> jax.Array:
     """int32 e8m0 byte -> exact fp32 reciprocal 2^(127-byte).
 

@@ -335,14 +335,19 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
 
     Bitwise contract: identical to ``fused_quantize_mx(kmajor_codes)``
     + ``ops.int8path.encode_int8`` — same group-sum tree (sublane
-    axis), same codec formulas, and the int8 emit ``m2 << (3 - d)`` is
-    the EXACT integer form of the encode's pow2 rescale (``d = E -
-    byte_e <= 3`` by construction of E, |m2| <= 12, so the shifted
-    value <= 96 never rounds in any arithmetic); the re-rotation is
-    the identical MXU contraction both times.  The integer emit
-    replaces the int->f32 cast, f32 multiply, round and f32->i32 cast
-    of the first oneshot version per element: 120 -> 98 us at M=2048
-    K=5120 with bm=256 (exp_oneshot_variants_r3.py, bitwise-checked).
+    axis), same codec formulas, same f32 rounding points (the pow2
+    rescale of a 4-bit integer is exact in f32 and bf16 alike for
+    deficits d <= 3 and RTNE-rounds deeper), and the re-rotation is
+    the identical MXU contraction both times.
+
+    NOT an integer shift: ``m2 << (3 - d)`` looks equivalent but is
+    only exact for d <= 3 — ACTIVATION rows carry no spread guarantee
+    (unlike weights, which fall back to fp4 at deficit > 3), and a
+    measured 1-in-64 decode row on the tiny model reaches d in 4..7,
+    where the shift count goes negative and the contract breaks
+    (maxdiff 6 vs encode_int8 at spread 5 — this session's adversarial
+    probe).  The f32 multiply+round handles every deficit exactly like
+    the encode.
     """
     bm = x_ref.shape[0]
     h = h_ref[...]
@@ -363,9 +368,11 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
             else byte_chunks[0])                 # [k/32, bm]
     e = jnp.max(byte, axis=0, keepdims=True)     # [1, bm] row max byte
     inv = C.e8m0_recip_f32(byte)
-    sh = 3 - (e - byte)                          # i32 [k/32, bm], 0..3
+    # m * 2^(3-d) is exact f32 for d <= 3 and RTNE-rounds deeper — same
+    # argument as the revisit kernel's finish
+    f = C.pow2_f32(3 - (e - byte))
     s_ref[...] = byte.astype(jnp.uint8)
-    sa_ref[...] = jnp.exp2((e - 131).astype(jnp.float32))  # 2^(E-4)
+    sa_ref[...] = C.pow2_f32(e - 131)            # exact 2^(E-4)
 
     for c in range(k // bkc):
         xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)
@@ -373,10 +380,10 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
              ).reshape(bkc, bm)
         if method != "quest":
             q = q * 3.0
-        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q))
-        a = (m2.reshape(gc, 32, bm)
-             << sh[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm)
-        a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int8)
+        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
+        a = jnp.round((m2.reshape(gc, 32, bm)
+                       * f[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm))
+        a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int32).astype(jnp.int8)
 
 
 def _quantize_mx_int8_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref, emax,
@@ -428,7 +435,7 @@ def _quantize_mx_int8_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref, emax,
             # regime, unreachable through the floored e8m0 quantizer.
             # f32 because Mosaic lowers neither bf16 roundeven nor the
             # bf16 [G, 1, bm] broadcast.
-            mult = jnp.exp2((3 - (e - seb)).astype(jnp.float32))
+            mult = C.pow2_f32(3 - (e - seb))
             m = C.e2m1_codes_to_m2(
                 a_ref[pl.ds(c * bk, bk), :].astype(jnp.int32)
             ).astype(jnp.float32)
@@ -440,7 +447,7 @@ def _quantize_mx_int8_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref, emax,
             return 0
 
         lax.fori_loop(0, nk, body, 0)
-        sa_ref[...] = jnp.exp2((e - 131).astype(jnp.float32))  # 2^(E-4)
+        sa_ref[...] = C.pow2_f32(e - 131)            # exact 2^(E-4)
 
 
 def _quantize_nv_int8_oneshot_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref,

@@ -56,6 +56,14 @@ def _codes_to_m2(codes):
     return C.e2m1_codes_to_m2(codes)
 
 
+def _pow2_f32(n):
+    """EXACT fp32 2^n (bit-constructed — ``jnp.exp2`` is a 1-ulp-off
+    approximation at many integer args, and the approximation differs
+    between XLA and Mosaic lowerings; see codecs.pow2_f32)."""
+    from ..formats import codecs as C
+    return C.pow2_f32(n)
+
+
 def _unpack(packed):
     """packed u8 [..., K/2] -> codes u8 [..., K] (low nibble first)."""
     lo = packed & 0xF
@@ -83,13 +91,15 @@ def encode_int8(codes_or_packed, scale_bytes, *, kmajor: bool = False):
     ``kmajor=True`` takes the quantizer's K-major layout (codes [K, R]
     or packed [K/2, R], scales [K/32, R]) and returns a' [K, R].
     """
-    # single formula covers both regimes: m * 2^(3-d) is EXACT in fp32
-    # for d <= 3 (pure shift of a 4-bit integer) and RTNE-rounds the
-    # rare over-deficit groups; the group multiplier broadcasts through
-    # a [G, 32, R] view instead of a materialized repeat.  (An
-    # integer-only variant measured SLOWER — 975 vs 373 us at
-    # [25600, 2048]: the where/shift cascade beats the VPU's fused
-    # f32 multiply-round.)
+    # single formula covers both regimes: m * 2^(3-d) is EXACT for
+    # d <= 3 (pure shift of a 4-bit integer) and RTNE-rounds the rare
+    # over-deficit groups; the group multiplier broadcasts through a
+    # [G, 32, R] view instead of a materialized repeat.  The pow2 is
+    # BIT-CONSTRUCTED (exact) — jnp.exp2 approximations differ between
+    # dtypes and lowerings and broke the oneshot==two-pass contract at
+    # deficit > 3.  (An integer-only variant measured SLOWER — 975 vs
+    # 373 us at [25600, 2048]: the where/shift cascade beats the VPU's
+    # fused f32 multiply-round.)
     if kmajor:
         packed_k, rows = codes_or_packed.shape
         k = scale_bytes.shape[0] * 32
@@ -99,9 +109,9 @@ def encode_int8(codes_or_packed, scale_bytes, *, kmajor: bool = False):
         se = scale_bytes.astype(jnp.int32) - 127      # [K/32, R]
         e = jnp.max(se, axis=0)                       # [R]
         d = e[None, :] - se                           # [K/32, R]
-        # bf16 throughout is exact: |m| <= 12 has a 4-bit significand,
-        # pow2 scaling preserves it, and RTNE rounding matches f32
-        mult = jnp.exp2((3 - d).astype(jnp.bfloat16))
+        # m (4-bit significand) times an exact pow2 never rounds; the
+        # f32-promoted product + RTNE round matches the kernel bitwise
+        mult = _pow2_f32(3 - d)
         q = m.reshape(k // 32, 32, rows) * mult[:, None, :]
         a = jnp.round(q).astype(jnp.int8).reshape(k, rows)
     else:
@@ -112,10 +122,10 @@ def encode_int8(codes_or_packed, scale_bytes, *, kmajor: bool = False):
         se = scale_bytes.astype(jnp.int32) - 127
         e = jnp.max(se, axis=-1)
         d = e[..., None] - se
-        mult = jnp.exp2((3 - d).astype(jnp.bfloat16))
+        mult = _pow2_f32(3 - d)
         q = m.reshape(*m.shape[:-1], k // 32, 32) * mult[..., None]
         a = jnp.round(q).astype(jnp.int8).reshape(m.shape)
-    scale = jnp.exp2((e - 4).astype(jnp.float32))
+    scale = _pow2_f32(e - 4)
     return a, scale, jnp.max(d)
 
 
@@ -190,7 +200,7 @@ def encode_int8_planes(packed, scale_bytes):
     se = scale_bytes.astype(jnp.int32) - 127
     e = jnp.max(se, axis=0)
     d = e[None, :] - se
-    mult = jnp.exp2((3 - d).astype(jnp.bfloat16))
+    mult = _pow2_f32(3 - d)
 
     def enc(nib):
         m = _codes_to_m2(nib).astype(jnp.bfloat16)
@@ -198,7 +208,7 @@ def encode_int8_planes(packed, scale_bytes):
         return jnp.round(qv).astype(jnp.int8).reshape(k2, rows)
 
     a = jnp.concatenate([enc(packed & 0xF), enc(packed >> 4)], axis=0)
-    return a, jnp.exp2((e - 4).astype(jnp.float32)), jnp.max(d)
+    return a, _pow2_f32(e - 4), jnp.max(d)
 
 
 @jax.jit

@@ -211,6 +211,35 @@ def test_quantize_mx_int8_fused(data, method):
     np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
 
 
+@pytest.mark.parametrize("ratio_log2", [4, 5, 6, 17])
+def test_quantize_mx_int8_fused_wide_spread(ratio_log2):
+    """Fused int8 quantize stays bitwise vs emulation on rows whose
+    group-exponent SPREAD exceeds 3 — the regime where the encode's
+    pow2 rescale m2 * 2^(3-d) must RTNE-round instead of shifting
+    exactly.  Activations carry no spread guarantee (weights fall back
+    to fp4 at deficit > 3); a shift-based emit that assumed d <= 3
+    broke exactly here (round-3 regression, caught on-device as a
+    1-in-64 decode-row divergence)."""
+    rng = np.random.default_rng(ratio_log2)
+    rows, k = 64, 512
+    xa = rng.standard_normal((rows, k))
+    xa[0] = np.concatenate([rng.standard_normal(32)
+                            * (1.0 if g % 2 == 0 else 2.0 ** -ratio_log2)
+                            for g in range(k // 32)])
+    x = jnp.asarray(xa, jnp.bfloat16)
+    h = bf16_hadamard(32)
+    pa, psa, psb = KQ.fused_quantize_mx_int8(x, h, rot_size=32,
+                                             method="quest")
+    ea, esa, esb = E.fused_quantize_mx_int8(x, h, rot_size=32,
+                                            method="quest")
+    spread = (np.asarray(psb)[:, 0].astype(np.int32).max()
+              - np.asarray(psb)[:, 0].astype(np.int32).min())
+    assert spread > 3, "probe row must exercise the deep-deficit regime"
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ea))
+    np.testing.assert_array_equal(np.asarray(psa), np.asarray(esa))
+    np.testing.assert_array_equal(np.asarray(psb), np.asarray(esb))
+
+
 @pytest.mark.parametrize("method", ["abs_max", "quest"])
 def test_quantize_nv_int8_fused(data, method):
     x, h, one = data
