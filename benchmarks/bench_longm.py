@@ -85,7 +85,8 @@ def main():
         def quant_linear(d, j, p):
             x = chain_dep(p["a"], d)
             if oneshot:
-                ai, sa, _ = P.fusedQuantizeMxInt8(x, h, method="quest")
+                ai, sa, _ = P.fused_quantize_mx_int8(x, h, rot_size=32,
+                                                     method="quest")
             else:
                 cq, cs = P.fused_quantize_mx(x, h, method="quest",
                                              layout="kmajor_codes")
