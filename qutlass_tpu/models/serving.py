@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .transformer import ModelConfig, _linear, _rms_norm, _rope
+from .transformer import (ModelConfig, _flash_eligible, _linear,
+                          _prefill_attention, _rms_norm, _rope)
 
 
 def init_cache(cfg: ModelConfig, batch: int, max_len: int,
@@ -158,7 +159,25 @@ def _block(cfg, layer, x, cache_l, start_pos, h, method, quantized,
         # dequant fuses into the attention einsum's cache loads
         ka, va = _kv_dequantize(kc, ksc), _kv_dequantize(vc, vsc)
 
-    attn = _attend(cfg, qh, ka, va, sp + t)
+    if isinstance(start_pos, int) and start_pos == 0 and _flash_eligible(
+            cfg, t):
+        # one-shot full prefill: attending to cache[:t] equals causal
+        # self-attention over this chunk's own K/V — route through the
+        # tuned-block Pallas flash kernel (88 TF/s vs einsum's 15 at
+        # t=2048, exp_attn_tune_r3.py) instead of streaming the padded
+        # cache.  With the int8 cache the chunk K/V are first
+        # quantize->dequantized so flash sees exactly the values decode
+        # will read back.  Chunked prefill (traced start_pos) and
+        # decode keep the einsum cache path.
+        if "ks" in cache_l:     # kh/vh hold the int8 values here
+            ka_loc = _kv_dequantize(kh, ks_)
+            va_loc = _kv_dequantize(vh, vs_)
+        else:
+            ka_loc, va_loc = kh, vh
+        attn = _prefill_attention(cfg, qh, ka_loc.astype(jnp.bfloat16),
+                                  va_loc.astype(jnp.bfloat16), None)
+    else:
+        attn = _attend(cfg, qh, ka, va, sp + t)
     attn = attn.reshape(b, t, cfg.num_heads * cfg.head_dim)
     x = x + red(_linear(attn, layer["o_proj"], h, method, quantized,
                         out_dtype=red_dt))

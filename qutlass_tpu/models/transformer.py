@@ -380,11 +380,24 @@ def _flash_eligible(cfg: ModelConfig, t: int) -> bool:
         return False  # window mask: einsum path handles it
     if cfg.head_dim % 128 or t % 512:
         return False  # kernel block divisibility (block_q = 512)
-    # measured e2e (bench_prefill, v5e, 4 layers, b=1): flash LOSES at
-    # t=512 (3.95 vs 3.42 ms quantized) and wins ~3% at t=2048 — the
-    # einsum path's score traffic matters less than its fused-softmax
-    # schedule until t is large.  Flash from t >= 2048 only.
-    return flag == "1" or t >= 2048
+    # measured (exp_attn_tune_r3.py, v5e, 32q/8kv hd=128): the kernel's
+    # DEFAULT block sizes leave it at ~15-17 TF/s (1952 us at t=2048,
+    # barely ahead of einsum's 2260); 1024-cubed blocks reach 88 TF/s
+    # (391 us, 5.0x) at t=2048 and 67 TF/s (128 us) at t=1024.  At
+    # t=512 einsum is already at 60 TF/s (35.5 us) and wins — the f32
+    # scores buffer is still cheap there.  Flash from t >= 1024.
+    return flag == "1" or t >= 1024
+
+
+def _flash_block_sizes(t: int):
+    """Largest legal uniform block size for the flash kernel at seq t.
+
+    1024-cubed measured fastest at t=2048 (88 TF/s); fall back to 512
+    when t isn't 1024-divisible (eligibility already requires
+    t % 512 == 0)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as FA
+    b = 1024 if t % 1024 == 0 else 512
+    return FA.BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1)
 
 
 def _prefill_attention(cfg: ModelConfig, qh, kh, vh, causal):
@@ -403,7 +416,8 @@ def _prefill_attention(cfg: ModelConfig, qh, kh, vh, causal):
         kt = jnp.repeat(kh.transpose(0, 2, 1, 3), rep, axis=1)
         vt = jnp.repeat(vh.transpose(0, 2, 1, 3), rep, axis=1)
         o = FA.flash_attention(qt, kt, vt, causal=True,
-                               sm_scale=cfg.head_dim ** -0.5)
+                               sm_scale=cfg.head_dim ** -0.5,
+                               block_sizes=_flash_block_sizes(t))
         return o.transpose(0, 2, 1, 3).reshape(b, t, -1)
     # grouped attention without materializing the rep-fold KV repeat
     q5 = qh.reshape(b, t, cfg.num_kv_heads, rep, cfg.head_dim)
