@@ -13,6 +13,7 @@ scalars, so the whole generate loop compiles once.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -409,10 +410,30 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
              max_len: int, lengths=None, **kw):
     """Autoregressive generation: prompt [B, T] -> tokens [B, steps].
 
-    Host-side validation wrapper around the jitted loop: the KV cache
-    writes use scatter semantics whose out-of-bounds stores are silently
-    dropped, so an undersized ``max_len`` would return wrong tokens
-    instead of failing.  Checked here while shapes are still concrete.
+    Host-side validation wrapper: the KV cache writes use scatter
+    semantics whose out-of-bounds stores are silently dropped, so an
+    undersized ``max_len`` would return wrong tokens instead of
+    failing.  Checked here while shapes are still concrete.
+
+    Two execution strategies with identical semantics (same per-step
+    math, same key schedule):
+
+    * **dispatch loop** (default on TPU): prefill + one compiled
+      decode-step program re-dispatched per token.  Compiles in
+      seconds; ~30 ms/token dispatch overhead through the remote
+      tunnel.
+    * **joint scan** (default elsewhere; ``QUTLASS_TPU_SCAN_GENERATE=1``
+      forces it anywhere, ``=0`` forces the dispatch loop anywhere):
+      prefill + ``lax.scan`` in ONE compiled program — no per-token
+      dispatch cost, but the joint program is pathologically slow to
+      compile through the remote TPU tunnel (~30 min observed;
+      CLAUDE.md).  Also used automatically when ``generate`` is called
+      under an outer jit (a host loop cannot run inside a trace).
+
+    Scan and dispatch produce the same tokens/logprobs (same math,
+    same key schedule — tested equal on CPU; on TPU the two compile as
+    different fusion contexts, the usual ulp-level caveat of
+    docs/NUMERICS.md).
     """
     t = prompt.shape[1]
     if lengths is None:
@@ -438,8 +459,100 @@ def generate(cfg: ModelConfig, params, prompt, h=None, *, steps: int,
                     f"max_len={max_len} < max(lengths)({int(lnp.max())}) "
                     f"+ steps({steps}): ragged cache writes would be "
                     "dropped")
-    return _generate(cfg, params, prompt, h, steps=steps, max_len=max_len,
-                     lengths=lengths, **kw)
+    flag = os.environ.get("QUTLASS_TPU_SCAN_GENERATE", "auto")
+    traced = isinstance(prompt, jax.core.Tracer)
+    from ..ops import dispatch
+    if traced or flag == "1" or (flag == "auto" and not dispatch.on_tpu()):
+        return _generate(cfg, params, prompt, h, steps=steps,
+                         max_len=max_len, lengths=lengths, **kw)
+    return _generate_dispatch(cfg, params, prompt, h, steps=steps,
+                              max_len=max_len, lengths=lengths, **kw)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "quantized", "method",
+                                    "temperature", "top_k", "top_p",
+                                    "eos_id", "pad_id", "mlp",
+                                    "return_logprobs"))
+def _gen_step(cfg: ModelConfig, params, cache, token, lp, pos, done, k,
+              h=None, *, quantized, method, temperature, top_k, top_p,
+              eos_id, pad_id, mlp, return_logprobs):
+    """One compiled generation step: decode + sample + EOS bookkeeping.
+
+    The dispatch-loop twin of ``_generate``'s scan body — one program
+    reused for every token (``pos`` is traced)."""
+    b = token.shape[0]
+    logits, cache = decode_step(cfg, params, cache, token, pos, h,
+                                quantized=quantized, method=method, mlp=mlp)
+    nxt = sample_logits(logits, k, temperature=temperature, top_k=top_k,
+                        top_p=top_p)
+    if return_logprobs:
+        nlp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[
+            jnp.arange(b), nxt]
+    else:
+        nlp = lp
+    out_tok = jnp.where(done, pad_id, token)
+    out_lp = jnp.where(done, 0.0, lp)
+    if eos_id is not None:
+        done = done | (token == eos_id)
+    return cache, nxt, nlp, pos + 1, done, out_tok, out_lp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "temperature", "top_k", "top_p",
+                                    "return_logprobs"))
+def _first_pick(cfg: ModelConfig, logits, k, *, temperature, top_k, top_p,
+                return_logprobs):
+    b = logits.shape[0]
+    tok = sample_logits(logits, k, temperature=temperature, top_k=top_k,
+                        top_p=top_p)
+    if return_logprobs:
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[
+            jnp.arange(b), tok]
+    else:
+        lp = jnp.zeros((b,))
+    return tok, lp
+
+
+def _generate_dispatch(cfg: ModelConfig, params, prompt, h=None, *,
+                       steps: int, max_len: int, quantized: bool = False,
+                       method: str = "quest", key=None,
+                       temperature: float = 0.0, top_k: int = 0,
+                       top_p: float = 1.0, eos_id: int | None = None,
+                       pad_id: int = 0, mlp=None, lengths=None,
+                       cache_format: str = "bf16",
+                       return_logprobs: bool = False):
+    """Host-loop generation: same semantics and key schedule as
+    ``_generate``, but prefill and the decode step compile as separate
+    (small, fast-compiling) programs and the step is re-dispatched per
+    token.  Fixed ``steps`` iterations like the scan (no early exit —
+    EOS rows emit ``pad_id``)."""
+    b, t = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    logits, cache = prefill(cfg, params, prompt, h, max_len=max_len,
+                            quantized=quantized, method=method, mlp=mlp,
+                            lengths=lengths, cache_format=cache_format)
+    key, k0 = jax.random.split(key)
+    token, lp = _first_pick(cfg, logits, k0, temperature=temperature,
+                            top_k=top_k, top_p=top_p,
+                            return_logprobs=return_logprobs)
+    done = jnp.zeros((b,), bool)
+    pos = jnp.int32(t) if lengths is None else lengths.astype(jnp.int32)
+    keys = jax.random.split(key, steps)
+    toks, lps = [], []
+    for i in range(steps):
+        cache, token, lp, pos, done, out_tok, out_lp = _gen_step(
+            cfg, params, cache, token, lp, pos, done, keys[i], h,
+            quantized=quantized, method=method, temperature=temperature,
+            top_k=top_k, top_p=top_p, eos_id=eos_id, pad_id=pad_id,
+            mlp=mlp, return_logprobs=return_logprobs)
+        toks.append(out_tok)
+        lps.append(out_lp)
+    toks = jnp.stack(toks, axis=1)                # [B, steps]
+    if return_logprobs:
+        return toks, jnp.stack(lps, axis=1)
+    return toks
 
 
 @functools.partial(jax.jit,

@@ -364,3 +364,38 @@ def test_sliding_window_composes_with_chunked_and_int8_cache():
     b = np.asarray(lb, np.float32).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.99, cos
+
+
+def test_generate_dispatch_loop_matches_scan():
+    """The TPU-default dispatch loop (serving._generate_dispatch) and
+    the joint-scan _generate implement the same semantics and key
+    schedule: same tokens and logprobs, greedy and sampled+EOS."""
+    import qutlass_tpu.models.serving as S
+    cfg, params, h = _setup(True)
+    prompt = jax.random.randint(jax.random.PRNGKey(9), (2, 6), 0,
+                                cfg.vocab_size)
+    for kw in ({"temperature": 0.0},
+               {"temperature": 0.8, "top_k": 16, "key": jax.random.PRNGKey(4),
+                "eos_id": 3, "pad_id": 0}):
+        scan = S._generate(cfg, params, prompt, h, steps=6, max_len=16,
+                           quantized=True, return_logprobs=True, **kw)
+        disp = S._generate_dispatch(cfg, params, prompt, h, steps=6,
+                                    max_len=16, quantized=True,
+                                    return_logprobs=True, **kw)
+        np.testing.assert_array_equal(np.asarray(scan[0]),
+                                      np.asarray(disp[0]))
+        np.testing.assert_allclose(np.asarray(scan[1]), np.asarray(disp[1]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_generate_dispatch_ragged():
+    import qutlass_tpu.models.serving as S
+    cfg, params, h = _setup(True)
+    prompt = jax.random.randint(jax.random.PRNGKey(11), (3, 8), 0,
+                                cfg.vocab_size)
+    lengths = jnp.asarray([3, 8, 5], jnp.int32)
+    scan = S._generate(cfg, params, prompt, h, steps=4, max_len=16,
+                       quantized=True, lengths=lengths)
+    disp = S._generate_dispatch(cfg, params, prompt, h, steps=4,
+                                max_len=16, quantized=True, lengths=lengths)
+    np.testing.assert_array_equal(np.asarray(scan), np.asarray(disp))
