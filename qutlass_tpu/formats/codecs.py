@@ -114,6 +114,35 @@ def e2m1_codes_to_m2(codes: jax.Array) -> jax.Array:
     return jnp.where(c >= 8, -m, m)
 
 
+def e2m1_rtne_m2_f32(q: jax.Array) -> jax.Array:
+    """fp32 -> the RTNE e2m1 value DOUBLED (m2), directly as fp32.
+
+    Bitwise-equal to ``e2m1_codes_to_m2(e2m1_rtne_codes(q))`` promoted
+    to f32 (exhaustively checked against the code path over a dense
+    [-8, 8] sweep + specials in tests/test_codecs.py) but skips the
+    code representation entirely: the piecewise-uniform grid decomposes
+    into three integer RTNE roundings on the VALUE, each a single VPU
+    round — for the fused quantize+int8 kernels, where only m2 is
+    needed, this drops ~10 integer ops per element vs the
+    encode->decode round trip.
+
+      |q| <= 2:     m2 = roundeven(2q)        (ints 0..4, ties-to-even
+                    m2 == ties-to-even code: codes 0..4 ARE m2)
+      2 < |q| <= 4: m2 = 2*roundeven(q)       (4, 6, 8; tie 2.5 -> even
+                    q 2 -> m2 4 == even code 4; tie 3.5 -> 8 == code 6)
+      4 < |q| <= 6: m2 = 4*roundeven(q/2)     (8, 12; tie 5 -> m2 8 ==
+                    even code 6)
+    Saturates to +-6 (satfinite) via the clamp; NaN maps to +0.
+    """
+    a = jnp.abs(q)
+    qc = jnp.clip(q, -E2M1_MAX, E2M1_MAX)
+    r1 = lax.round(qc * 2.0, _RTNE)
+    r2 = 2.0 * lax.round(qc, _RTNE)
+    r3 = 4.0 * lax.round(qc * 0.5, _RTNE)
+    m2 = jnp.where(a <= 2.0, r1, jnp.where(a <= 4.0, r2, r3))
+    return jnp.where(jnp.isnan(q), 0.0, m2)
+
+
 def e2m1_decode_f32(codes: jax.Array) -> jax.Array:
     """int32 e2m1 codes (0..15) -> exact fp32 values."""
     mag = codes & 7

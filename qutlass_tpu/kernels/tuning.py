@@ -131,9 +131,12 @@ def quantize_int8_oneshot_bm(rows: int, k: int,
     # dedicated cap: the oneshot holds no weight tiles, so it can take
     # more than the GEMM tile budget.  bm=256 K=5120 (10.5 MB) and
     # bm=512 K=5120 (21 MB) both ran on v5e (exp_oneshot_variants_r3);
-    # 16 MB keeps a 6x margin against the 128 MB/core VMEM.
+    # 16 MB keeps a 6x margin against v5e's 128 MB/core VMEM.  The cap
+    # scales off the generation-keyed tile budget (16/9 of it) so
+    # unknown generations inherit the v5e-validated 16 MB rather than
+    # an unconditional floor.
     _, tile_cap = vmem_budgets(kind)
-    cap = max(tile_cap, 16_000_000)
+    cap = tile_cap * 16 // 9
     bkc = min(k, 512)
 
     def need(bm):

@@ -367,8 +367,14 @@ def _flash_eligible(cfg: ModelConfig, t: int) -> bool:
     whole prefill in exactly that regime (benchmarks/exp_flashattn.py).
     ``QUTLASS_TPU_FLASH=0`` forces the einsum path, ``1`` forces flash
     wherever legal; default ``auto`` uses flash on TPU for full-causal
-    prefill at t >= 512 (below that the scores buffer fits cheap and
-    kernel launch overhead dominates).
+    prefill at t >= 1024 (t must also be 512-divisible for the kernel
+    blocks; below 1024 the scores buffer fits cheap and einsum wins —
+    see the measured note below).
+
+    NOTE: like QUTLASS_TPU_PIN_NORMS / QUTLASS_TPU_SCAN_GENERATE, the
+    env var is read at trace time and jit caches are NOT keyed on it —
+    flipping it mid-process leaves previously traced programs on the
+    old setting.  Set it before the first model call.
     """
     flag = os.environ.get("QUTLASS_TPU_FLASH", "auto")
     if flag == "0":
@@ -410,6 +416,11 @@ def _prefill_attention(cfg: ModelConfig, qh, kh, vh, causal):
     """
     b, t = qh.shape[0], qh.shape[1]
     rep = cfg.num_heads // cfg.num_kv_heads
+    if causal is None:
+        # callers on the flash route may pass None; build the full
+        # causal mask lazily so a gate divergence (env flip between
+        # traces) degrades to the einsum path instead of crashing
+        causal = jnp.tril(jnp.ones((t, t), bool))
     if _flash_eligible(cfg, t):
         from jax.experimental.pallas.ops.tpu import flash_attention as FA
         qt = qh.transpose(0, 2, 1, 3)

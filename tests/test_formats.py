@@ -39,6 +39,27 @@ def test_e2m1_encoders_agree():
     np.testing.assert_array_equal(a, b)
 
 
+def test_e2m1_direct_m2_matches_code_path():
+    # The direct grid-rounding m2 (used by the fused quantize+int8
+    # kernels) vs the encode->decode composition, over a dense sweep,
+    # every tie midpoint, specials, and bit-pattern extremes.
+    rng = np.random.default_rng(2)
+    xs = np.concatenate([
+        rng.standard_normal(1 << 16).astype(np.float32) * 3,
+        np.linspace(-8, 8, 200003, dtype=np.float32),
+        np.array([0.25, 0.75, 1.25, 1.75, 2.5, 3.5, 5.0, 6.0, -0.25,
+                  -0.75, -2.5, -3.5, -5.0, 0.0, -0.0, np.inf, -np.inf,
+                  np.nan, -np.nan, 1e30, -1e30, 1e-30, -1e-30,
+                  2.0, 4.0, -2.0, -4.0, np.nextafter(2.0, 3.0),
+                  np.nextafter(4.0, 5.0), np.nextafter(2.0, 0.0),
+                  np.nextafter(4.0, 0.0)], np.float32),
+    ])
+    want = np.asarray(C.e2m1_codes_to_m2(
+        C.e2m1_rtne_codes(jnp.asarray(xs)))).astype(np.float32)
+    got = np.asarray(C.e2m1_rtne_m2_f32(jnp.asarray(xs)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_e2m1_decode_all_codes():
     codes = jnp.arange(16, dtype=jnp.int32)
     vals = np.asarray(C.e2m1_decode_f32(codes))
