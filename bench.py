@@ -319,48 +319,54 @@ def main():
     # baselines SHARED with the MX grid at the same (M, K, N) so the
     # two tables are mutually consistent.
     if nv_ms is not None and em.mx and not out_of_budget():
-        K, N = 5120, 5120
-        nv_nw = 8
-        nvi8s, nvsbs, wTs = [], [], []
-        for i in range(nv_nw):
-            w = (jax.random.normal(jax.random.PRNGKey(99 + i), (N, K),
-                                   jnp.bfloat16) * 0.05)
-            wqt, wst = P.fused_quantize_nv(w, HS[32], jnp.float32(6.0),
-                                           rot_size=32, layout="kmajor")
-            ni, nsb = I8.prepare_weight_nv_int8(wqt, wst)
-            nvi8s.append(ni)
-            nvsbs.append(nsb)
-            wTs.append(w.T)
-        nvp = {"nvi8": nvi8s, "nvsb": nvsbs, "wT": wTs}
-        for M in nv_ms:
+        for K, N in TABLES["qwen3-32b"]:   # >= 3 geometries (VERDICT r3)
             if out_of_budget():
                 break
-            a = jax.random.normal(jax.random.PRNGKey(M), (M, K),
-                                  jnp.bfloat16)
+            nv_nw = 8 if N * K <= 5120 * 5120 else 4
+            nvi8s, nvsbs, wTs = [], [], []
+            for i in range(nv_nw):
+                w = (jax.random.normal(jax.random.PRNGKey(99 + i), (N, K),
+                                       jnp.bfloat16) * 0.05)
+                wqt, wst = P.fused_quantize_nv(w, HS[32], jnp.float32(6.0),
+                                               rot_size=32, layout="kmajor")
+                ni, nsb = I8.prepare_weight_nv_int8(wqt, wst)
+                nvi8s.append(ni)
+                nvsbs.append(nsb)
+                wTs.append(w.T)
+            del w
+            nvp = {"nvi8": nvi8s, "nvsb": nvsbs, "wT": wTs}
+            for M in nv_ms:
+                if out_of_budget():
+                    break
+                tp0 = time.time()
+                a = jax.random.normal(jax.random.PRNGKey(M), (M, K),
+                                      jnp.bfloat16)
 
-            def nv_linear(d, j, p):
-                # production NV path (models/transformer.py _linear with
-                # weight_format="int8"): fused quantize+int8-encode
-                # kernel -> int8-MXU GEMM with rank-1 fp32 fixup
-                x = chain_dep(a, d)
-                xi, sx, _ = P.fused_quantize_nv_int8(
-                    x, HS[32], jnp.float32(6.0), rot_size=32)
-                return I8.matmul_mxf4_bf16_int8_kk(
-                    xi, p["nvi8"][j % nv_nw], sx, p["nvsb"][j % nv_nw],
-                    one)
+                def nv_linear(d, j, p):
+                    # production NV path (models/transformer.py _linear
+                    # with weight_format="int8"): fused quantize+int8-
+                    # encode kernel -> int8-MXU GEMM, rank-1 fp32 fixup
+                    x = chain_dep(a, d)
+                    xi, sx, _ = P.fused_quantize_nv_int8(
+                        x, HS[32], jnp.float32(6.0), rot_size=32)
+                    return I8.matmul_mxf4_bf16_int8_kk(
+                        xi, p["nvi8"][j % nv_nw], sx, p["nvsb"][j % nv_nw],
+                        one)
 
-            def bf16_linear(d, j, p):
-                return chain_dep(a, d) @ p["wT"][j % nv_nw]
+                def bf16_linear(d, j, p):
+                    return chain_dep(a, d) @ p["wT"][j % nv_nw]
 
-            tq = bench_scan(nv_linear, nvp)
-            if (M, K, N) not in tbs:
-                tbs[(M, K, N)] = bench_scan(bf16_linear, nvp)
-            tb = tbs[(M, K, N)]
-            em.add_nv(K, N, M, tq, tb)
-            log(f"NVFP4 qwen3-32b K={K} N={N} M={M:5d}: int8-path "
-                f"{tq*1e6:9.1f}us ({2*M*N*K/tq/1e12:6.2f} TF/s) "
-                f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x")
-        del nvp, nvi8s, nvsbs, wTs
+                tq = bench_scan(nv_linear, nvp)
+                if (M, K, N) not in tbs:
+                    tbs[(M, K, N)] = bench_scan(bf16_linear, nvp)
+                tb = tbs[(M, K, N)]
+                em.add_nv(K, N, M, tq, tb)
+                log(f"NVFP4 qwen3-32b K={K:5d} N={N:5d} M={M:5d}: "
+                    f"int8-path {tq*1e6:9.1f}us "
+                    f"({2*M*N*K/tq/1e12:6.2f} TF/s) "
+                    f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x")
+                t_point = 0.5 * t_point + 0.5 * (time.time() - tp0)
+            del nvp, nvi8s, nvsbs, wTs
 
     # remaining five MX core geometries
     if completed_core:

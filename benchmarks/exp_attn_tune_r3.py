@@ -109,7 +109,11 @@ def main():
 
     cands = [("einsum", einsum_attn), ("flash-def", flash_attn(None))]
     for bq, bkm, bk in ((512, 1024, 512), (1024, 1024, 1024),
-                        (512, 2048, 512), (2048, 2048, 512)):
+                        (512, 2048, 512), (2048, 2048, 512),
+                        # small-t candidates (r4: tune t=512/1536)
+                        (512, 512, 512), (512, 512, 256),
+                        (256, 512, 256), (256, 256, 256),
+                        (1536, 1536, 512), (512, 1536, 512)):
         if bkm > T or bq > T:
             continue
         cands.append((f"flash-{bq}x{bkm}x{bk}", flash_attn(
@@ -117,7 +121,7 @@ def main():
                           block_b=1))))
     cands.append(("splash-def", splash_attn(None, None)))
     for bq, bkv in ((512, 1024), (1024, 1024), (2048, 1024), (1024, 2048),
-                    (2048, 2048)):
+                    (2048, 2048), (512, 512), (256, 512), (256, 256)):
         if bq > T or bkv > T:
             continue
         cands.append((f"splash-{bq}x{bkv}", splash_attn(bq, bkv)))

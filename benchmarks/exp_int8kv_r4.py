@@ -57,19 +57,28 @@ def main():
     b = args.batch
 
     for ctx in ctxs:
-        prompt = jax.random.randint(jax.random.PRNGKey(1), (b, ctx - 1),
+        # short prompt into a max_len=ctx cache: the decode einsum
+        # streams the WHOLE cache buffer regardless of fill level, so
+        # the per-step cost matches a fully-filled context without
+        # compiling a giant ctx-token prefill program (the ctx=4096+
+        # prefill compile broke the remote-compile tunnel)
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (b, 128),
                                     0, cfg.vocab_size)
         pos = jnp.int32(ctx - 1)
         times = {}
         for fmt in ("bf16", "int8"):
             _, cache = prefill(cfg, qparams, prompt, h, max_len=ctx,
                                quantized=True, cache_format=fmt)
-            pp = {"cache": cache}
+            # weights/cache must travel via ``params``: closure-captured
+            # arrays embed as constants in the remote compile request
+            # (HTTP 413 / broken pipe above ~100 MB — see
+            # tpu_recheck_r2s4.py)
+            pp = {"cache": cache, "p": qparams}
 
             def op(d, j, pp):
                 tok = ((jnp.abs(d) * 1e30).astype(jnp.int32)[0] + j) % 1000
                 toks = jnp.full((b,), tok, jnp.int32)
-                logits, _ = decode_step(cfg, qparams, pp["cache"], toks,
+                logits, _ = decode_step(cfg, pp["p"], pp["cache"], toks,
                                         pos, h, quantized=True)
                 return logits
 

@@ -49,18 +49,22 @@ def main():
     qparams = quantize_model_weights(cfg, params, h)
     b = 8
 
+    # weights/cache travel via ``params``: closure-captured arrays embed
+    # as constants in the remote compile request (HTTP 413/broken pipe
+    # above ~100 MB — see tpu_recheck_r2s4.py)
     for t in (512, 2048):
         prompt_base = jax.random.randint(jax.random.PRNGKey(1), (b, t),
                                          0, cfg.vocab_size)
 
-        def op(d, j, pp):
+        def op(d, j, pp, t=t):
             tok = ((jnp.abs(d) * 1e30).astype(jnp.int32)[0] + j) % 1000
-            toks = (prompt_base + tok) % cfg.vocab_size
-            logits, _ = prefill(cfg, qparams, toks, h, max_len=t,
+            toks = (pp["toks"] + tok) % cfg.vocab_size
+            logits, _ = prefill(cfg, pp["p"], toks, h, max_len=t,
                                 quantized=True)
             return logits
 
-        tp = benchmark(op, iters=2, chain=2, repeats=3, params={})
+        tp = benchmark(op, iters=2, chain=2, repeats=3,
+                       params={"p": qparams, "toks": prompt_base})
         print(f"pin={pin} prefill t={t:5d} b={b}: {tp*1e3:8.2f} ms",
               flush=True)
 
@@ -72,12 +76,12 @@ def main():
     def dop(d, j, pp):
         tok = ((jnp.abs(d) * 1e30).astype(jnp.int32)[0] + j) % 1000
         toks = jnp.full((b,), tok, jnp.int32)
-        logits, _ = decode_step(cfg, qparams, pp["cache"], toks, pos, h,
+        logits, _ = decode_step(cfg, pp["p"], pp["cache"], toks, pos, h,
                                 quantized=True)
         return logits
 
     td = benchmark(dop, iters=4, chain=4, repeats=3,
-                   params={"cache": cache})
+                   params={"cache": cache, "p": qparams})
     print(f"pin={pin} decode ctx=256 b={b}: {td*1e6:8.1f} us", flush=True)
 
 
