@@ -68,6 +68,30 @@ if _PLATFORM != "cpu" or os.environ.get("QUTLASS_TPU_TEST_CACHE") == "1":
         pass
 
 
+# Two-tier suite: the default run skips tests marked ``slow`` (heavy
+# model/serving geometries whose features also have light smoke
+# coverage) so the routine gate finishes in minutes; set
+# QUTLASS_TPU_TEST_FULL=1 for the complete suite (CI / pre-release).
+_FULL = os.environ.get("QUTLASS_TPU_TEST_FULL", "") not in ("", "0")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy test, skipped by default; QUTLASS_TPU_TEST_FULL=1 "
+        "(or -m slow) runs it")
+
+
+def pytest_collection_modifyitems(config, items):
+    if _FULL or config.getoption("-m"):
+        return  # explicit -m selection overrides the tiering
+    skip = pytest.mark.skip(
+        reason="slow tier (set QUTLASS_TPU_TEST_FULL=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True)
 def _seed_each_test():
     np.random.seed(0)

@@ -37,6 +37,7 @@ def _solo(cfg, params, h, ids, steps, quantized, eos_id=None):
     return toks
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("quantized", [False, True])
 def test_stream_matches_solo(setup, quantized):
     cfg, params, qparams, h = setup
@@ -53,6 +54,7 @@ def test_stream_matches_solo(setup, quantized):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_stream_eos_frees_slots(setup):
     """EOS eviction: finished rows free mid-stream and later prompts
     still match solo generation."""
@@ -81,6 +83,7 @@ def test_rejects_oversized_prompt(setup):
         cb.run([(np.arange(12), 8)])
 
 
+@pytest.mark.slow
 def test_stream_matches_solo_moe():
     """MoE continuous batching (mlp hook): streamed prompts == solo
     moe.generate bitwise on CPU (routing is per-row; capacity never
@@ -106,6 +109,7 @@ def test_stream_matches_solo_moe():
                                       err_msg=f"moe prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_bucket_clamped_to_max_len(setup):
     """A prompt whose padding bucket exceeds max_len must still admit
     (the prefill block is clamped to the cache length)."""
@@ -122,6 +126,7 @@ def test_bucket_clamped_to_max_len(setup):
     np.testing.assert_array_equal(outs[0], ref)
 
 
+@pytest.mark.slow
 def test_stream_tp_engine_matches_solo(setup):
     """TP continuous batching (TPEngine over the CPU mesh): streamed
     prompts through the sharded fixed-slot pool equal solo SINGLE-DEVICE
@@ -150,6 +155,7 @@ def test_stream_tp_engine_matches_solo(setup):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_stream_moe_ep_engine_matches_solo():
     """MoE continuous batching over the expert-parallel mesh
     (moe_tp.engine): streamed prompts equal solo single-device
@@ -181,6 +187,7 @@ def test_stream_moe_ep_engine_matches_solo():
                                       err_msg=f"moe prompt {i} diverged")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("quantized", [False, True])
 def test_stream_chunked_admission_matches_solo(setup, quantized):
     """chunk=8 admission (one compiled prefill program for all prompt
@@ -200,6 +207,7 @@ def test_stream_chunked_admission_matches_solo(setup, quantized):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_stream_tp_engine_chunked_matches_solo(setup):
     """TP engine with chunked admission (tp_prefill_step): identical
     outputs to solo single-device generation, with one chunk-wide
@@ -224,6 +232,7 @@ def test_stream_tp_engine_chunked_matches_solo(setup):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", [None, 4])
 def test_prefix_cache_matches_solo(setup, chunk):
     """Prefix caching: prompts sharing a registered prefix reuse its KV
@@ -250,6 +259,7 @@ def test_prefix_cache_matches_solo(setup, chunk):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_prefix_cache_tp_engine(setup):
     """Prefix caching through the TP engine: sharded prefix rows splice
     + suffix continuation, tokens equal solo single-device output."""
@@ -277,6 +287,7 @@ def test_prefix_cache_tp_engine(setup):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_stream_int8_cache_matches_solo_int8(setup):
     """Scheduler invariance holds per cache format: streamed prompts
     with cache_format='int8' equal solo generate(cache_format='int8')
@@ -300,6 +311,7 @@ def test_stream_int8_cache_matches_solo_int8(setup):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_admit_batch_mode_margin_contract(setup):
     """admit_batch=True prefills all of a round's admissions as one
     ragged dispatch.  The batch-shaped logits dot rounds differently at
@@ -338,6 +350,7 @@ def test_admit_batch_mode_margin_contract(setup):
             "— not explainable by batch-shape ulp rounding")
 
 
+@pytest.mark.slow
 def test_run_metrics(setup):
     """run() records dispatch/throughput counters: batched admission
     collapses a round's prefills into one dispatch, prefix hits are

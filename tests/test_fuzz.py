@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import qutlass_tpu as q
 from qutlass_tpu.formats import golden as G
 from qutlass_tpu.ops import emulation as E

@@ -43,6 +43,7 @@ def _fake_state(cfg):
     return s
 
 
+@pytest.mark.slow
 def test_roundtrip_forward():
     cfg = tiny_config()
     params = params_from_hf_state_dict(cfg, _fake_state(cfg))
@@ -114,6 +115,7 @@ def test_load_model_one_call(tmp_path):
     assert cos > 0.9, cos
 
 
+@pytest.mark.slow
 def test_load_model_nv_format(tmp_path):
     """load_model passes fmt/weight_format through to the quantizer:
     fmt="nv" stores NVFP4 weights (int8 evaluator operand by default,
@@ -160,6 +162,7 @@ def test_load_model_nv_format(tmp_path):
     assert {"wqt", "wst", "gs"} <= set(lw4) and "nvi8" not in lw4, set(lw4)
 
 
+@pytest.mark.slow
 def test_load_model_qwen3_moe(tmp_path):
     """qwen3_moe checkpoint: router + per-expert weights stack into the
     MoE param tree; quantize=True runs the experts through W4A4."""
@@ -231,6 +234,7 @@ def test_load_model_qwen3_moe(tmp_path):
     assert np.isfinite(np.asarray(qout, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_load_model_prequantized_moe(tmp_path):
     """Pre-quantized qwen3_moe checkpoint: attention + every expert
     stored as weight_packed/weight_scale; loaded tree serves bitwise
@@ -320,6 +324,7 @@ def test_load_model_prequantized_moe(tmp_path):
                                   np.asarray(out_direct))
 
 
+@pytest.mark.slow
 def test_load_model_prequantized_checkpoint(tmp_path):
     """A pre-quantized checkpoint (compressed-tensors naming:
     weight_packed/weight_scale[/weight_global_scale]) loads through
@@ -498,6 +503,7 @@ def test_load_model_llama_style_tied(tmp_path):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_load_model_mixtral(tmp_path):
     """Mixtral checkpoint: block_sparse_moe naming (gate router,
     experts.{e}.{w1,w3,w2}) maps onto the MoE tree; the gating math is

@@ -22,6 +22,7 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded["wst"]), np.asarray(wst))
 
 
+@pytest.mark.slow
 def test_save_load_quantized_model_tree(tmp_path):
     """Roundtrip a real quantize_model_weights tree in every stored
     weight format (MX int8, NV int8, fp4) — the dtypes the serving

@@ -54,6 +54,7 @@ def test_llama_style_config(setup):
     assert logits.shape == (1, 16, cfg.vocab_size)
 
 
+@pytest.mark.slow
 def test_nvfp4_quantized_forward():
     from qutlass_tpu.models import (forward, init_params,
                                     quantize_model_weights, tiny_config)
@@ -192,6 +193,7 @@ def test_nv_gsx_bound_mode_env_knob(monkeypatch):
     assert not np.array_equal(exact, bound)
 
 
+@pytest.mark.slow
 def test_sliding_window_attention():
     """cfg.sliding_window masks attention to the last W positions:
     a window >= T equals full causal attention exactly; tokens older

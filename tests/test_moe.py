@@ -1,4 +1,5 @@
 """MoE model family tests (tiny config, CPU emulation)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,7 @@ def test_moe_forward_and_quantized():
     assert cos > 0.6, cos
 
 
+@pytest.mark.slow
 def test_moe_cached_decode_matches_forward():
     from qutlass_tpu.models import moe
     cfg = tiny_moe_config()
@@ -66,6 +68,7 @@ def test_moe_cached_decode_matches_forward():
                                    rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_moe_generate_quantized():
     from qutlass_tpu.models import moe
     cfg = tiny_moe_config()
@@ -84,6 +87,7 @@ def test_moe_generate_quantized():
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(t2))
 
 
+@pytest.mark.slow
 def test_moe_nvfp4_quantized_forward():
     """MoE with fmt="nv": both evaluator formats finite and at quality
     parity with each other vs the bf16 model (same contract as the

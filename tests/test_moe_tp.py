@@ -18,6 +18,7 @@ def setup():
     return cfg, params, qparams, h
 
 
+@pytest.mark.slow
 def test_moe_tp_prefill_matches_single_device(setup):
     cfg, params, qparams, h = setup
     if jax.device_count() < 2:
@@ -50,6 +51,7 @@ def test_moe_tp_prefill_matches_single_device(setup):
     assert cos > 0.95, cos
 
 
+@pytest.mark.slow
 def test_moe_tp_generate_consistency(setup):
     """tp_generate == manual tp prefill + decode loop (greedy)."""
     cfg, params, qparams, h = setup
@@ -74,6 +76,7 @@ def test_moe_tp_generate_consistency(setup):
     np.testing.assert_array_equal(toks, np.stack(got, axis=1))
 
 
+@pytest.mark.slow
 def test_moe_tp_prefill_nvfp4_int8():
     """NV int8 experts through EP serving: each expert lives whole on
     one shard (expert-axis sharding), so the NV evaluator's per-row

@@ -1,4 +1,5 @@
 """Serving harness tests: KV-cache decode must match the full forward."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ def _setup(quantized):
     return cfg, params, h
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_forward_bf16():
     cfg, params, h = _setup(False)
     toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
@@ -36,6 +38,7 @@ def test_cached_decode_matches_forward_bf16():
                                    rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_forward_quantized():
     cfg, params, h = _setup(True)
     toks = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0,
@@ -55,6 +58,7 @@ def test_cached_decode_matches_forward_quantized():
         assert cos > 0.95, (p, cos)
 
 
+@pytest.mark.slow
 def test_generate_greedy_consistency():
     cfg, params, h = _setup(True)
     prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 6), 0,
@@ -107,6 +111,7 @@ def test_sample_logits_controls():
         assert tok >= 56
 
 
+@pytest.mark.slow
 def test_generate_sampled_and_eos_padding():
     cfg, params, h = _setup(True)
     prompt = jax.random.randint(jax.random.PRNGKey(5), (2, 4), 0,
@@ -148,6 +153,7 @@ def test_sample_logits_topk_topp_combined():
         assert tok >= 56   # inside top-8
 
 
+@pytest.mark.slow
 def test_ragged_generate_matches_per_row(on_tpu):
     """Ragged batch (right-padded + lengths) must produce, per row, the
     tokens of an unpadded single-row generate: every op is
@@ -196,6 +202,7 @@ def test_ragged_prefill_logits_match(on_tpu):
         np.testing.assert_array_equal(np.asarray(lg_r), np.asarray(lg_d))
 
 
+@pytest.mark.slow
 def test_prefill_chunked_matches_full(on_tpu):
     """Chunked prefill == one-shot prefill: bitwise on CPU (logits and
     the cache's valid positions; the padded tail past T holds garbage
@@ -275,6 +282,7 @@ def test_int8_kv_cache_roundtrip_bound():
     assert (np.abs(deq - xf) <= bound).all()
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_generation_quality():
     """generate with cache_format='int8' stays at quality: per-step
     teacher-forced decode logits cosine > 0.99 vs the bf16 cache."""
@@ -304,6 +312,7 @@ def test_int8_kv_cache_generation_quality():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_generate_logprobs():
     """return_logprobs: each emitted token's log-prob under the model's
     softmax at the producing position; greedy tokens carry the max
@@ -366,6 +375,7 @@ def test_sliding_window_composes_with_chunked_and_int8_cache():
     assert cos > 0.99, cos
 
 
+@pytest.mark.slow
 def test_generate_dispatch_loop_matches_scan():
     """The TPU-default dispatch loop (serving._generate_dispatch) and
     the joint-scan _generate implement the same semantics and key
@@ -388,6 +398,7 @@ def test_generate_dispatch_loop_matches_scan():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_generate_dispatch_ragged():
     import qutlass_tpu.models.serving as S
     cfg, params, h = _setup(True)

@@ -20,6 +20,7 @@ def setup():
     return cfg, params, qparams, h
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tp", [2, 4])
 def test_tp_prefill_matches_single_device(setup, tp):
     if tp == 4:
@@ -87,6 +88,7 @@ def test_tp_decode_step_matches_single_device(setup):
         assert cos > 0.95, (p, cos)
 
 
+@pytest.mark.slow
 def test_tp_generate_consistency(setup):
     """tp_generate (one dispatch) == manual tp prefill + decode loop."""
     if jax.device_count() < 2:
@@ -114,6 +116,7 @@ def test_tp_generate_consistency(setup):
     np.testing.assert_array_equal(toks, np.stack(got, axis=1))
 
 
+@pytest.mark.slow
 def test_tp_sampled_generate_reproducible(setup):
     if jax.device_count() < 2:
         pytest.skip("needs a 2-device mesh")
@@ -128,6 +131,7 @@ def test_tp_sampled_generate_reproducible(setup):
     np.testing.assert_array_equal(t1, t2)
 
 
+@pytest.mark.slow
 def test_tp_generate_tokens_equal_single_device(setup):
     """Byte-level contract (VERDICT r1 #8): greedy tokens from the TP
     mesh must EQUAL single-device greedy tokens exactly.
@@ -191,6 +195,7 @@ def test_nv_int8_weight_natural_order():
     np.testing.assert_array_equal(nat[1::2], pla[k // 2:])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("weight_format", ["fp4", "int8"])
 def test_tp_prefill_nvfp4(weight_format):
     """NVFP4 TP serving, both evaluator formats.  Row-parallel layers
@@ -220,6 +225,7 @@ def test_tp_prefill_nvfp4(weight_format):
     assert cos > 0.95, cos
 
 
+@pytest.mark.slow
 def test_tp_int8_kv_cache(setup):
     """TP serving with the int8 KV cache: sharded scale planes, decode
     logits within cosine 0.99 of the TP bf16-cache run, and the TP
@@ -271,6 +277,7 @@ def test_tp_int8_kv_cache(setup):
                                       err_msg=f"prompt {i} diverged")
 
 
+@pytest.mark.slow
 def test_tp_engine_chunked_ragged_batch():
     """Regression: TPEngine(chunk=N).prefill with a RAGGED batch (the
     admit_batch path) must honor per-row lengths — row 1's prompt was
@@ -302,6 +309,7 @@ def test_tp_engine_chunked_ragged_batch():
             np.asarray(wcache[l]["k"][:, :17]), err_msg=f"layer {l}")
 
 
+@pytest.mark.slow
 def test_tp_generate_logprobs(setup):
     """tp_generate(return_logprobs=True): tokens unchanged, logprobs
     are valid log-probabilities (<= 0), greedy first token carries the

@@ -27,6 +27,7 @@ def _ref_mlp(x, w1, w2, h):
     return quartet_linear(h1, w2, h, "quest")
 
 
+@pytest.mark.slow
 @needs_8
 def test_sp_mlp_matches_tp_and_single():
     rng = np.random.default_rng(0)
@@ -54,6 +55,7 @@ def test_sp_mlp_matches_tp_and_single():
                                rtol=5e-2, atol=atol)
 
 
+@pytest.mark.slow
 @needs_8
 def test_gpipe_matches_sequential_and_grads():
     rng = np.random.default_rng(1)
@@ -92,6 +94,7 @@ def test_gpipe_matches_sequential_and_grads():
     assert np.all(norms > 0), norms
 
 
+@pytest.mark.slow
 @needs_8
 def test_moe_ep_runs_and_matches_local():
     rng = np.random.default_rng(2)
@@ -127,6 +130,7 @@ def test_moe_ep_runs_and_matches_local():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_zero_adam_matches_replicated():
     """ZeRO-1 Adam (psum_scatter grads -> shard-local moments ->
     all_gather params) must reproduce replicated Adam on the mean
