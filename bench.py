@@ -263,15 +263,17 @@ def main():
                 del w
                 cur_weights = ((K, N), wTs, wi8s, wsbs)
             h = HS[had]
-            qparams = {"wi8": wi8s, "wsb": wsbs}
-            bparams = {"wT": wTs}
             for M in ms:
                 if stop_on_budget and out_of_budget():
-                    del qparams, bparams
                     return False
                 tp0 = time.time()
+                # the activation travels via params: closure-captured
+                # arrays embed as constants in the remote compile
+                # request (slow uploads; HTTP 413 above ~100 MB)
                 a = jax.random.normal(jax.random.PRNGKey(M), (M, K),
                                       jnp.bfloat16)
+                qparams = {"wi8": wi8s, "wsb": wsbs, "a": a}
+                bparams = {"wT": wTs, "a": a}
 
                 # mirror the production _linear routing
                 # (models/transformer.py): single-shot whole-K
@@ -280,20 +282,29 @@ def main():
                 oneshot = on_tpu and quantize_int8_oneshot_bm(M, K)
 
                 def quant_linear(d, j, p):
-                    x = chain_dep(a, d)
+                    # chain the dep through the TINY Hadamard operand:
+                    # chain_dep's elementwise max cannot fuse into the
+                    # Pallas custom call, so chaining through the
+                    # activation pays an extra full read+write copy of
+                    # it every iteration that a real pipeline (input
+                    # produced on-device) never pays — measured 418 ->
+                    # 334 us at M=2048 K=N=5120 (exp_longm_r4).  The
+                    # bf16 baseline's max fuses into its dot read, so
+                    # it was never taxed.
+                    hc = chain_dep(h, d)
                     if oneshot:
                         ai, sa, _ = P.fused_quantize_mx_int8(
-                            x, h, rot_size=had, method="quest")
+                            p["a"], hc, rot_size=had, method="quest")
                     else:
                         cq, cs = P.fused_quantize_mx(
-                            x, h, rot_size=had, method="quest",
+                            p["a"], hc, rot_size=had, method="quest",
                             layout="kmajor_codes")
                         ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
                     return I8.matmul_mxf4_bf16_int8_kmajor(
                         ai, p["wi8"][j % nw], sa, p["wsb"][j % nw], one)
 
                 def bf16_linear(d, j, p):
-                    return chain_dep(a, d) @ p["wT"][j % nw]
+                    return chain_dep(p["a"], d) @ p["wT"][j % nw]
 
                 tq = bench_scan(quant_linear, qparams)
                 if (M, K, N) not in tbs:
@@ -305,7 +316,6 @@ def main():
                     f"mxfp4-int8 {tq*1e6:9.1f}us ({tf:6.2f} TF/s) "
                     f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x")
                 t_point = 0.5 * t_point + 0.5 * (time.time() - tp0)
-            del qparams, bparams
         return True
 
     # First geometry (qwen3-32b 5120x5120) before anything else — it
@@ -341,24 +351,26 @@ def main():
                 tp0 = time.time()
                 a = jax.random.normal(jax.random.PRNGKey(M), (M, K),
                                       jnp.bfloat16)
+                nvp_m = dict(nvp, a=a)
 
                 def nv_linear(d, j, p):
                     # production NV path (models/transformer.py _linear
                     # with weight_format="int8"): fused quantize+int8-
-                    # encode kernel -> int8-MXU GEMM, rank-1 fp32 fixup
-                    x = chain_dep(a, d)
+                    # encode kernel -> int8-MXU GEMM, rank-1 fp32 fixup.
+                    # dep chained through the Hadamard (see quant_linear)
+                    hc = chain_dep(HS[32], d)
                     xi, sx, _ = P.fused_quantize_nv_int8(
-                        x, HS[32], jnp.float32(6.0), rot_size=32)
+                        p["a"], hc, jnp.float32(6.0), rot_size=32)
                     return I8.matmul_mxf4_bf16_int8_kk(
                         xi, p["nvi8"][j % nv_nw], sx, p["nvsb"][j % nv_nw],
                         one)
 
                 def bf16_linear(d, j, p):
-                    return chain_dep(a, d) @ p["wT"][j % nv_nw]
+                    return chain_dep(p["a"], d) @ p["wT"][j % nv_nw]
 
-                tq = bench_scan(nv_linear, nvp)
+                tq = bench_scan(nv_linear, nvp_m)
                 if (M, K, N) not in tbs:
-                    tbs[(M, K, N)] = bench_scan(bf16_linear, nvp)
+                    tbs[(M, K, N)] = bench_scan(bf16_linear, nvp_m)
                 tb = tbs[(M, K, N)]
                 em.add_nv(K, N, M, tq, tb)
                 log(f"NVFP4 qwen3-32b K={K:5d} N={N:5d} M={M:5d}: "

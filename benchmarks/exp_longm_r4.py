@@ -86,6 +86,19 @@ def main():
                                                  method="quest")
             return ai
 
+        # chain the dep through the TINY Hadamard operand instead of x:
+        # chain_dep's elementwise max cannot fuse into the Pallas custom
+        # call, so chaining through x pays a full extra read+write copy
+        # of the activation every iteration (2 x 2*M*K bytes — 1.6 ms at
+        # M=65536) that a real pipeline (activation produced on-device)
+        # never pays.  h' = max(h, -3e38) keeps the quantize un-hoistable
+        # at 2 KB of traffic.
+        def quant_only_hchain(d, j, p):
+            hc = chain_dep(h, d)
+            ai, sa, _ = P.fused_quantize_mx_int8(p["a"], hc, rot_size=32,
+                                                 method="quest")
+            return ai
+
         def composed(d, j, p):
             x = chain_dep(p["a"], d)
             ai, sa, _ = P.fused_quantize_mx_int8(x, h, rot_size=32,
@@ -93,15 +106,27 @@ def main():
             return I8.matmul_mxf4_bf16_int8_kmajor(
                 ai, p["wi8"][j % nw], sa, p["wsb"][j % nw], one)
 
+        def composed_hchain(d, j, p):
+            hc = chain_dep(h, d)
+            ai, sa, _ = P.fused_quantize_mx_int8(p["a"], hc, rot_size=32,
+                                                 method="quest")
+            return I8.matmul_mxf4_bf16_int8_kmajor(
+                ai, p["wi8"][j % nw], sa, p["wsb"][j % nw], one)
+
         tdot = benchmark(pure_dot, iters=it, chain=ch, repeats=3, params=pre)
         tfix = benchmark(dot_fixup, iters=it, chain=ch, repeats=3, params=pre)
         tq = benchmark(quant_only, iters=it, chain=ch, repeats=3, params=comp)
+        tqh = benchmark(quant_only_hchain, iters=it, chain=ch, repeats=3,
+                        params=comp)
         tc = benchmark(composed, iters=it, chain=ch, repeats=3, params=comp)
+        tch = benchmark(composed_hchain, iters=it, chain=ch, repeats=3,
+                        params=comp)
         print(f"M={M:6d}: pure-dot {tdot*1e6:9.1f}us ({tflops(M,N,K,tdot):6.1f} TF/s)  "
               f"dot+fixup {tfix*1e6:9.1f}us ({tflops(M,N,K,tfix):6.1f})  "
-              f"quant {tq*1e6:8.1f}us  composed {tc*1e6:9.1f}us "
-              f"({tflops(M,N,K,tc):6.1f})  overlap {(tq+tfix-tc)*1e6:7.1f}us  "
-              f"comp/dot {tc/tdot:5.2f}", flush=True)
+              f"quant {tq*1e6:8.1f}us  quant-hchain {tqh*1e6:8.1f}us  "
+              f"composed {tc*1e6:9.1f}us ({tflops(M,N,K,tc):6.1f})  "
+              f"composed-hchain {tch*1e6:9.1f}us ({tflops(M,N,K,tch):6.1f}) "
+              f"comp-h/dot {tch/tdot:5.2f}", flush=True)
 
 
 if __name__ == "__main__":
