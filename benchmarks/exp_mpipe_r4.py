@@ -75,17 +75,20 @@ def main():
     a = jax.random.normal(jax.random.PRNGKey(M), (M, K), jnp.bfloat16)
     params = {"a": a, "wi8": wi8s, "wsb": wsbs}
 
-    def quant(x):
-        return P.fused_quantize_mx_int8(x, h, rot_size=32, method="quest")
+    def quant(x, hc=None):
+        return P.fused_quantize_mx_int8(x, h if hc is None else hc,
+                                        rot_size=32, method="quest")
 
     def dot(ai, sa, j):
         return I8.matmul_mxf4_bf16_int8_kmajor(
             ai, wi8s[j % nw], sa, wsbs[j % nw], one)
 
-    # C0: production composed
+    # C0: production composed (dep chained through the 2 KB Hadamard:
+    # chaining through x pays an unfusable full copy per iteration,
+    # exp_longm_r4)
     def c0(d, j, p):
-        x = chain_dep(p["a"], d)
-        ai, sa, _ = quant(x)
+        hc = chain_dep(h, d)
+        ai, sa, _ = quant(p["a"], hc)
         return dot(ai, sa, j)
 
     t0 = benchmark(c0, iters=4, chain=4, repeats=3, params=params)
@@ -96,16 +99,17 @@ def main():
         mc = M // nc
 
         def c1(d, j, p, nc=nc, mc=mc):
-            x = chain_dep(p["a"], d)
+            hc = chain_dep(h, d)
             outs = []
             for c in range(nc):
-                ai, sa, _ = quant(x[c * mc:(c + 1) * mc])
+                ai, sa, _ = quant(p["a"][c * mc:(c + 1) * mc], hc)
                 outs.append(dot(ai, sa, j))
             return jnp.concatenate(outs, axis=0)
 
         def c2(d, j, p, nc=nc, mc=mc):
-            x = chain_dep(p["a"], d)
-            qs = [quant(x[c * mc:(c + 1) * mc]) for c in range(nc)]
+            hc = chain_dep(h, d)
+            qs = [quant(p["a"][c * mc:(c + 1) * mc], hc)
+                  for c in range(nc)]
             return jnp.concatenate(
                 [dot(ai, sa, j) for ai, sa, _ in qs], axis=0)
 
