@@ -79,9 +79,13 @@ def main():
         return P.fused_quantize_mx_int8(x, h if hc is None else hc,
                                         rot_size=32, method="quest")
 
-    def dot(ai, sa, j):
+    def dot(ai, sa, j, p=None):
+        # weights via params where available: closure-captured arrays
+        # embed as constants in the compile request (105 MB here) and
+        # measured 28x slower through the remote runtime
+        ws, bs = (wi8s, wsbs) if p is None else (p["wi8"], p["wsb"])
         return I8.matmul_mxf4_bf16_int8_kmajor(
-            ai, wi8s[j % nw], sa, wsbs[j % nw], one)
+            ai, ws[j % nw], sa, bs[j % nw], one)
 
     # C0: production composed (dep chained through the 2 KB Hadamard:
     # chaining through x pays an unfusable full copy per iteration,
@@ -89,7 +93,7 @@ def main():
     def c0(d, j, p):
         hc = chain_dep(h, d)
         ai, sa, _ = quant(p["a"], hc)
-        return dot(ai, sa, j)
+        return dot(ai, sa, j, p)
 
     t0 = benchmark(c0, iters=4, chain=4, repeats=3, params=params)
     print(f"C0 composed      M={M}: {t0*1e6:8.1f}us "
@@ -103,7 +107,7 @@ def main():
             outs = []
             for c in range(nc):
                 ai, sa, _ = quant(p["a"][c * mc:(c + 1) * mc], hc)
-                outs.append(dot(ai, sa, j))
+                outs.append(dot(ai, sa, j, p))
             return jnp.concatenate(outs, axis=0)
 
         def c2(d, j, p, nc=nc, mc=mc):
@@ -111,7 +115,7 @@ def main():
             qs = [quant(p["a"][c * mc:(c + 1) * mc], hc)
                   for c in range(nc)]
             return jnp.concatenate(
-                [dot(ai, sa, j) for ai, sa, _ in qs], axis=0)
+                [dot(ai, sa, j, p) for ai, sa, _ in qs], axis=0)
 
         t1 = benchmark(c1, iters=4, chain=4, repeats=3, params=params)
         t2 = benchmark(c2, iters=4, chain=4, repeats=3, params=params)
