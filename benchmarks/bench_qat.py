@@ -48,9 +48,9 @@ def main():
                     .astype(ml_dtypes.bfloat16))
     t = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
 
-    def pseudo_quant(v):
+    def pseudo_quant(v, hh):
         """bf16 pseudo-quantization of the last axis (quest, rot 32)."""
-        rot = h.astype(jnp.float32)
+        rot = hh.astype(jnp.float32)
         g = v.reshape(-1, 32).astype(jnp.float32) @ rot
         s1 = jnp.sum(g, axis=-1)
         s2 = jnp.sum(g * g, axis=-1)
@@ -62,23 +62,30 @@ def main():
         return (dq @ rot.T).reshape(v.shape).astype(jnp.bfloat16)
 
     @jax.custom_vjp
-    def pq_ste(v):
-        return pseudo_quant(v)
+    def pq_ste(v, hh):
+        return pseudo_quant(v, hh)
 
-    pq_ste.defvjp(lambda v: (pseudo_quant(v), None), lambda _, g: (g,))
+    pq_ste.defvjp(lambda v, hh: (pseudo_quant(v, hh), None),
+                  lambda _, g: (g, None))
 
-    def loss_pseudo(x, w):
+    # the chain dep rides the TINY Hadamard, not the activation:
+    # chain_dep's update cannot fuse into a Pallas custom call, so
+    # chaining through x taxes only the quartet path with a full
+    # read+write copy of the activation per iteration (the harness
+    # artifact found in exp_longm_r4) — ~84 us at 4096^2, ~5% of the
+    # step.  h' stays 2 KB of traffic on both paths.
+    def loss_pseudo(x, w, hh):
         # bf16 GEMM with fp32 accumulation — the rate a real bf16
         # pseudo-quant trainer gets (an f32-cast GEMM would run the MXU
         # at a fraction of peak and flatter the quartet number)
-        y = jax.lax.dot_general(pq_ste(x), pq_ste(w),
+        y = jax.lax.dot_general(pq_ste(x, hh), pq_ste(w, hh),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         return jnp.sum(y * t)
 
     def make_loss_quartet(grad_mode):
-        def loss_quartet(x, w):
-            return jnp.sum(quartet_linear(x, w, h, "quest", grad_mode)
+        def loss_quartet(x, w, hh):
+            return jnp.sum(quartet_linear(x, w, hh, "quest", grad_mode)
                            .astype(jnp.float32) * t)
         return loss_quartet
 
@@ -119,12 +126,12 @@ def main():
 
     from qutlass_tpu.profiling import chain_dep
     gp = jax.grad(loss_pseudo, argnums=(0, 1))
-    tp = bench(lambda d: gp(chain_dep(x, d), w))
+    tp = bench(lambda d: gp(x, w, chain_dep(h, d)))
 
     times = {}
     for mode in ["int8", "bf16", "mxfp8"]:
         gq = jax.grad(make_loss_quartet(mode), argnums=(0, 1))
-        times[mode] = bench(lambda d: gq(chain_dep(x, d), w))
+        times[mode] = bench(lambda d: gq(x, w, chain_dep(h, d)))
 
     # headline = the int8 grad mode: the TPU-native step (all three
     # GEMMs on the int8 MXU, 8-bit row-quantized gradients — tighter
