@@ -63,24 +63,27 @@ def main():
     ni8, nsb = I8.prepare_weight_nv_int8(nqt, nst)
     p = {"a": a}
 
+    # fold the scales into the returned value so XLA cannot dead-code
+    # eliminate the scale computation on the two-pass XLA-encode routes
+    # (the fused Pallas kernel must compute all outputs either way)
     def q_mx2(d, j, pp):
         hc = chain_dep(h, d)
         cq, cs = P.fused_quantize_mx(pp["a"], hc, rot_size=32,
                                      method="quest", layout="kmajor_codes")
         ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
-        return ai
+        return ai + sa.astype(ai.dtype)[:1]
 
     def q_nvf(d, j, pp):
         hc = chain_dep(h, d)
         ai, sx, _ = P.fused_quantize_nv_int8(pp["a"], hc, gs, rot_size=32)
-        return ai
+        return ai + sx.astype(ai.dtype)[:1]
 
     def q_nv2(d, j, pp):
         hc = chain_dep(h, d)
         xqt, xst = P.fused_quantize_nv(pp["a"], hc, gs, rot_size=32,
                                        layout="kmajor")
         ai, sx = I8.encode_nv_int8(xqt, xst)
-        return ai
+        return ai + sx.astype(ai.dtype)[:1]
 
     def comp_mx(d, j, pp):
         hc = chain_dep(h, d)
