@@ -99,8 +99,15 @@ def main():
             def loop(dep):
                 def body(c, _):
                     for _ in range(chain):
-                        gx, gw = step(c)
-                        c = (jnp.sum(gx, dtype=jnp.float32)
+                        # loss folds into the chain scalar so the
+                        # FORWARD dot stays live: sum(y*t) is linear in
+                        # y, so grad alone never needs y and XLA would
+                        # dead-code the forward GEMM on both paths
+                        # (ADVICE r4) — grad-only timings measured a
+                        # backward-only step.
+                        loss, (gx, gw) = step(c)
+                        c = (loss
+                             + jnp.sum(gx, dtype=jnp.float32)
                              + jnp.sum(gw, dtype=jnp.float32)
                              ).reshape(1) * 1e-30
                     return c, None
@@ -125,12 +132,12 @@ def main():
         return max(t5 - t1, 1e-9) / (4 * iters * chain)
 
     from qutlass_tpu.profiling import chain_dep
-    gp = jax.grad(loss_pseudo, argnums=(0, 1))
+    gp = jax.value_and_grad(loss_pseudo, argnums=(0, 1))
     tp = bench(lambda d: gp(x, w, chain_dep(h, d)))
 
     times = {}
     for mode in ["int8", "bf16", "mxfp8"]:
-        gq = jax.grad(make_loss_quartet(mode), argnums=(0, 1))
+        gq = jax.value_and_grad(make_loss_quartet(mode), argnums=(0, 1))
         times[mode] = bench(lambda d: gq(x, w, chain_dep(h, d)))
 
     # headline = the int8 grad mode: the TPU-native step (all three
