@@ -40,3 +40,21 @@ def test_agreement_gate_pinned():
     out = _run_gate(pin=1)
     assert out["pass"], out
     assert out["prefix_agreement"] == 1.0, out
+
+
+def test_agreement_gate_fast():
+    """Small pinned gate in the DEFAULT tier (VERDICT r4 item 7): a
+    model-level int8-vs-fp4 numerics regression must surface in the
+    210s tier, not only under QUTLASS_TPU_TEST_FULL=1.  4 prompts x 4
+    steps on CPU (~25s; CPU is the bitwise contract regardless of the
+    suite's platform setting, so this also stays cheap on TPU runs)."""
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    args = [sys.executable, _GATE, "--prompts", "4", "--steps", "4",
+            "--pin", "1", "--device", "cpu"]
+    proc = subprocess.run(args, capture_output=True, text=True,
+                          timeout=300, env=env)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, (proc.stdout[-2000:], proc.stderr[-2000:])
+    out = json.loads(lines[-1])
+    assert out["pass"], out
+    assert out["prefix_agreement"] == 1.0, out
