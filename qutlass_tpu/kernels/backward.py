@@ -146,7 +146,14 @@ def backward_qt_bf16_2d(x_e2m1, x_e8m0, h, alpha, *, rot_size: int):
     bm = 256
     bn = _pick_bk(n, 512)
     if bn % 256 != 0:
-        bn = 256 if n % 256 == 0 else n
+        # n % 256 != 0 (else _pick_bk returns a 256-multiple): the only
+        # lane-legal tile would be the full non-pow2 extent — the
+        # demonstrated Mosaic compile pathology (_pick_bk docstring).
+        # The dispatch layer (ops/pallas_ops.py) routes such shapes to
+        # emulation; direct callers get the same instruction.
+        raise ValueError(
+            f"backward_qt_bf16_2d needs N % 256 == 0 (got N={n}); use "
+            f"ops.pallas_ops.backward_qt_bf16 (emulation fallback)")
     grid = (n // bn, m // bm)
     al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
     h256 = jnp.kron(jnp.eye(256 // rot_size, dtype=jnp.bfloat16),
@@ -372,7 +379,11 @@ def mxfp4_transpose_scaled_2d(x_fp4: jax.Array, scales: jax.Array):
     bm = 256
     bn = _pick_bk(n, 512)
     if bn % 256 != 0:
-        bn = 256 if n % 256 == 0 else n
+        # full-extent non-pow2 tile = Mosaic compile pathology; the
+        # dispatch layer routes these shapes to emulation
+        raise ValueError(
+            f"mxfp4_transpose_scaled_2d needs N % 256 == 0 (got N={n}); "
+            f"use the dispatching op in ops.pallas_ops")
     grid = (n // bn, m // bm)
     return pl.pallas_call(
         _fp4t_scaled_kernel,
@@ -426,7 +437,11 @@ def mxfp4_transpose_scaled_kmajor_2d(qt: jax.Array, st: jax.Array):
     rows = qt.shape[1]
     bk = _pick_bk(k, 512)
     if bk % 256 != 0:
-        bk = 256 if k % 256 == 0 else k
+        # full-extent non-pow2 tile = Mosaic compile pathology; the
+        # dispatch layer routes these shapes to emulation
+        raise ValueError(
+            f"mxfp4_transpose_scaled_kmajor_2d needs K % 256 == 0 (got "
+            f"K={k}); use the row-major path via ops.pallas_ops")
     bn = 256
     return pl.pallas_call(
         _fp4t_scaled_kmajor_kernel,
@@ -455,7 +470,11 @@ def mxfp4_transpose_mxfp8_2d(x_fp4: jax.Array, scales: jax.Array):
     bm = 256
     bn = _pick_bk(n, 512)
     if bn % 256 != 0:
-        bn = 256 if n % 256 == 0 else n
+        # full-extent non-pow2 tile = Mosaic compile pathology; the
+        # dispatch layer routes these shapes to emulation
+        raise ValueError(
+            f"mxfp4_transpose_mxfp8_2d needs N % 256 == 0 (got N={n}); "
+            f"use ops.pallas_ops.mxfp4_transpose_mxfp8")
     grid = (n // bn, m // bm)
 
     fp8, st = pl.pallas_call(

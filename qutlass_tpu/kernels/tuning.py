@@ -128,29 +128,57 @@ def quantize_int8_oneshot_bm(rows: int, k: int,
     """
     if k % 128 != 0:
         return 0
-    # dedicated cap: the oneshot holds no weight tiles, so it can take
-    # more than the GEMM tile budget.  bm=256 K=5120 (10.5 MB) and
-    # bm=512 K=5120 (21 MB) both ran on v5e (exp_oneshot_variants_r3);
-    # 16 MB keeps a 6x margin against v5e's 128 MB/core VMEM.  The cap
-    # scales off the generation-keyed tile budget (16/9 of it) so
-    # unknown generations inherit the v5e-validated 16 MB rather than
-    # an unconditional floor.
+    # dedicated caps: the oneshot holds no weight tiles, so it can take
+    # more than the GEMM tile budget.  Mosaic's default 16 MB scoped-
+    # VMEM limit used to be the silent ceiling; the kernels now raise
+    # it (oneshot_vmem_limit), so the caps below are the MEASURED
+    # regimes, not a compiler constraint:
+    #   * bm=256 stays within 16 MB (tile_cap*16//9) — the
+    #     exp_oneshot_variants_r3-validated regime (K <= ~10k).
+    #   * bm=128 extends to 24 MB (tile_cap*8//3): the whole-K kernel
+    #     at K=25600 (21 MB) beats the revisit kernel AND the two-pass
+    #     composition — MX 577 vs 984 us, NV 1205 vs 1701 us at M=2048
+    #     (results_oneshot_largek_r5.log); covers every reference-table
+    #     K incl. llama's 28672 (23.3 MB).  Larger K (~50k+) keeps the
+    #     two-pass fallback: the unrolled 2*K/512-chunk kernel body is
+    #     a Mosaic compile-time risk there and is unmeasured.
     _, tile_cap = vmem_budgets(kind)
-    cap = tile_cap * 16 // 9
-    bkc = min(k, 512)
-
-    def need(bm):
-        # in bf16 x2 + out int8 x2 + ~5 live f32 chunk intermediates
-        return (2 * 2 + 2 * 1) * k * bm + 20 * bkc * bm
-
+    cap256 = tile_cap * 16 // 9
+    cap128 = tile_cap * 8 // 3
     # bm=256 measured 18% faster than 128 at M=2048 K=5120 (98 vs
     # 119 us, exp_oneshot_variants_r3) — prefer it when rows divide
-    if rows % 256 == 0 and need(256) <= cap:
+    if rows % 256 == 0 and oneshot_vmem_need(k, 256) <= cap256:
         return 256
     bm = 128 if rows >= 128 else rows
     if bm % 128 != 0 and bm != rows:
         return 0
-    return bm if need(bm) <= cap else 0
+    return bm if oneshot_vmem_need(k, bm) <= cap128 else 0
+
+
+def oneshot_vmem_need(k: int, bm: int) -> int:
+    """Scoped-VMEM bytes the whole-K oneshot quantize kernel requests:
+    bf16 input block (double-buffered) + int8 output block
+    (double-buffered) + ~5 live f32 chunk intermediates."""
+    return (2 * 2 + 2 * 1) * k * bm + 20 * min(k, 512) * bm
+
+
+def oneshot_vmem_limit(k: int, bm: int) -> int:
+    """``vmem_limit_bytes`` for the oneshot quantize kernels.
+
+    Mosaic's DEFAULT scoped-VMEM limit is 16 MB — the silent cap that
+    kept the oneshot off K >= ~20k (r4's weak large-K cells).  v5e has
+    128 MB/core of physical VMEM; raising the limit to the kernel's
+    actual need (+25% slack, capped at 100 MB) lets the whole-K kernel
+    run at K=25600/28672 where it beats both the revisit kernel and the
+    two-pass composition (benchmarks/results_oneshot_largek_r5.log).
+    """
+    need = oneshot_vmem_need(k, bm)
+    # 2x headroom: the modeled need tracks the MX kernel closely
+    # (18.95M measured vs 21M modeled at K=25600 bm=128) but the NV
+    # kernel's stashed per-chunk scale intermediates push its true
+    # scoped allocation to ~38M there — the limit only PERMITS, the
+    # compiler allocates what the kernel actually uses.
+    return min(100 << 20, max(16 << 20, 2 * need))
 
 
 def fused_linear_tiles(m: int, n: int, k: int,
