@@ -155,10 +155,17 @@ def import_mxfp4_weight(packed, scale_bytes, *, weight_format: str = "int8"):
 
 
 def import_nvfp4_weight(packed, scale_bytes, global_scale, *,
-                        weight_format: str = "int8"):
+                        weight_format: str = "int8", input_scale=None):
     """Row-major NVFP4 weight (vLLM two-level scheme: e4m3 group scales
     [N, K/16] + per-tensor fp32 global scale) -> stored evaluator dict
-    ({nvi8, nvsb, gs} or {wqt, wst, gs})."""
+    ({nvi8, nvsb, gs} or {wqt, wst, gs}).
+
+    ``input_scale`` (optional): the checkpoint's static ACTIVATION
+    scale (modelopt/compressed-tensors ``input_scale``, the reciprocal
+    of the activation global scale as vLLM consumes it) — stored as
+    ``gsx = 1/input_scale`` so ``_linear`` skips the per-call
+    rotated-amax pass (see models.transformer.calibrate_nv_gsx).
+    """
     import jax.numpy as jnp
 
     from .ops import int8path as I8
@@ -170,8 +177,11 @@ def import_nvfp4_weight(packed, scale_bytes, global_scale, *,
         d = {"nvi8": nvi8, "nvsb": nvsb, "gs": gs}
         if weight_format == "both":
             d.update(wqt=wqt, wst=wst)
-        return d
-    return {"wqt": wqt, "wst": wst, "gs": gs}
+    else:
+        d = {"wqt": wqt, "wst": wst, "gs": gs}
+    if input_scale is not None:
+        d["gsx"] = 1.0 / jnp.asarray(input_scale, jnp.float32).reshape(())
+    return d
 
 
 def export_quantized_weight(stored):

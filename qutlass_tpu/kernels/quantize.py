@@ -380,10 +380,11 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
              ).reshape(bkc, bm)
         if method != "quest":
             q = q * 3.0
-        # direct value-domain RTNE (codecs.e2m1_rtne_m2_f32): bitwise-
-        # equal to the codes round-trip (exhaustive sweep,
-        # tests/test_formats.py) with ~10 fewer VPU int ops/element
-        m2 = C.e2m1_rtne_m2_f32(q)
+        # codes round-trip, NOT codecs.e2m1_rtne_m2_f32: the value-
+        # domain RTNE (3 lax.round) measured 4-5% SLOWER than the
+        # integer-domain codes path on v5e Mosaic (577 -> 601 us at
+        # M=2048 K=25600, results_oneshot_largek_r5_m2.log)
+        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
         a = jnp.round((m2.reshape(gc, 32, bm)
                        * f[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm))
         a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int32).astype(jnp.int8)
@@ -486,7 +487,8 @@ def _quantize_nv_int8_oneshot_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref,
             byte, mul = C.nv_absmax_scale_bytes(amax, gs_ref[0, 0])
         s = C.e4m3_decode_f32(byte.astype(jnp.int32))
         s = jnp.where(jnp.isnan(s), 0.0, s)
-        m2max = C.e2m1_rtne_m2_f32(amax * mul)   # value-domain RTNE
+        m2max = C.e2m1_codes_to_m2(
+            C.e2m1_rtne_codes(amax * mul)).astype(jnp.float32)
         hs = 0.5 * s                             # exact pow2 multiply
         vm = jnp.max(hs * m2max, axis=0, keepdims=True)  # [1, bm]
         vmax = vm if vmax is None else jnp.maximum(vmax, vm)
@@ -503,8 +505,9 @@ def _quantize_nv_int8_oneshot_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref,
         xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)
         q = (xt.reshape(gc, 16, bm) * mul_chunks[c][:, None, :]
              ).reshape(bkc, bm)
-        # value-domain RTNE, bitwise-equal to the codes round trip
-        m2 = C.e2m1_rtne_m2_f32(q)
+        # codes round-trip (integer-domain beats lax.round on Mosaic —
+        # see the MX oneshot note)
+        m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
         v = (m2.reshape(gc, 16, bm)
              * hs_chunks[c][:, None, :]).reshape(bkc, bm)
         a = jnp.round(v * inv)

@@ -209,10 +209,17 @@ def _state_getters(state: Mapping[str, np.ndarray], weight_format: str,
         packed = jnp.asarray(packed)
         scales = jnp.asarray(
             np.asarray(state[name + ".weight_scale"]).view(np.uint8))
-        # per-tensor global scale: compressed-tensors names it
-        # weight_global_scale; modelopt/vLLM exports use weight_scale_2
-        gs = state.get(name + ".weight_global_scale",
-                       state.get(name + ".weight_scale_2"))
+        # per-tensor global scale, two on-disk conventions:
+        #  * compressed-tensors `weight_global_scale` is the QUANT-side
+        #    multiplier (448*6/amax) — our gs as-is;
+        #  * modelopt `weight_scale_2` is the second-level DEQUANT
+        #    multiplier (actual group scale = e4m3_byte *
+        #    weight_scale_2, vLLM reciprocates it) — gs = 1/ws2.
+        gs = state.get(name + ".weight_global_scale")
+        if gs is None:
+            ws2 = state.get(name + ".weight_scale_2")
+            if ws2 is not None:
+                gs = 1.0 / np.float32(np.asarray(ws2).ravel()[0])
         k = 2 * packed.shape[1]
         nv = gs is not None or scales.size == packed.shape[0] * (k // 16)
         if nv:
@@ -221,9 +228,15 @@ def _state_getters(state: Mapping[str, np.ndarray], weight_format: str,
                     f"{name}: group-16 (NVFP4) scales but no per-tensor "
                     "global scale (weight_global_scale / weight_scale_2) "
                     "in the checkpoint")
-            return import_nvfp4_weight(packed, scales,
-                                       np.float32(np.asarray(gs).ravel()[0]),
-                                       weight_format=weight_format)
+            # modelopt-style static activation scale (dequant
+            # multiplier) -> gsx = 1/input_scale, skips the per-call
+            # rotated-amax pass (io.import_nvfp4_weight)
+            in_s = state.get(name + ".input_scale")
+            return import_nvfp4_weight(
+                packed, scales, np.float32(np.asarray(gs).ravel()[0]),
+                weight_format=weight_format,
+                input_scale=(None if in_s is None
+                             else np.float32(np.asarray(in_s).ravel()[0])))
         return import_mxfp4_weight(packed, scales,
                                    weight_format=weight_format)
 

@@ -74,6 +74,7 @@ def _wspec(name: str, quantized: bool, axis: str, keys=None):
         "nvi8": kspec,
         "nvsb": P(axis) if col else P(None),
         "gs": P(),
+        "gsx": P(),     # static calibrated activation scale, replicated
         "am": P(),      # abs_max marker scalar, replicated
     }
     keys = keys if keys is not None else ("wqt", "wst")

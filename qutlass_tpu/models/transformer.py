@@ -196,6 +196,68 @@ def quantize_model_weights(cfg: ModelConfig, params, h: jax.Array,
     return out
 
 
+# Eager-calibration recorder: {id(weight dict): max rotated amax seen}.
+# Active (a dict) only inside calibrate_nv_gsx's eager forward; _linear
+# records into it when the value is concrete (never under jit tracing).
+_NV_CALIB = None
+
+
+def calibrate_nv_gsx(cfg: ModelConfig, params, tokens: jax.Array,
+                     h: jax.Array, *, margin: float = 1.0,
+                     method: str = "quest", mlp=None):
+    """Calibrate STATIC activation global scales for NVFP4 linears.
+
+    Runs one EAGER forward over ``tokens`` (a representative sample
+    batch), records each NV linear's rotated activation amax, and
+    stores ``gsx = 448*6 / (margin * amax)`` into the weight dicts
+    (leaf ``"gsx"``) — from then on ``_linear`` skips the per-call
+    exact-amax pass (a full extra rotation of the activation at every
+    projection).  This is the vLLM/modelopt ``input_scale`` convention;
+    the reference's NVFP4 benches likewise use a caller-provided
+    constant global scale (bench_nvfp4_sm120.py:57).
+
+    ``margin`` > 1 widens the calibrated window to absorb activations
+    larger than the sample's (values beyond it clip at the e2m1 grid
+    edge).  With ``margin == 1`` and the calibration batch itself, the
+    static path is bitwise-identical to the exact path under the same
+    (eager) execution mode — under whole-model jit the agreement is
+    cosine-level like every cross-program comparison here
+    (docs/NUMERICS.md fusion-context sensitivity).  Mutates ``params``
+    in place and returns it.  MoE expert stacks are left on the exact
+    path (their linears run under the mlp hook's own batching).
+    """
+    global _NV_CALIB
+    ids = {}
+    for layer in params["layers"]:
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                     "gate_proj", "up_proj", "down_proj"):
+            w = layer.get(name)
+            if isinstance(w, dict) and "gs" in w and "gsx" not in w:
+                ids[id(w)] = w
+    if not ids:
+        return params
+    _NV_CALIB = {}
+    try:
+        # the UNJITTED forward: _linear runs at the Python level so
+        # xh_amax is concrete, while the ops it calls stay jitted —
+        # NOT jax.disable_jit(), which would run the @jax.jit ops
+        # unfused and shift deep-layer activations by ~1 ulp, enough
+        # to flip e4m3 scale bytes vs the exact path (the documented
+        # fusion-context chaos, docs/NUMERICS.md)
+        forward.__wrapped__(cfg, params, tokens, h, quantized=True,
+                            method=method, mlp=mlp)
+    finally:
+        calib, _NV_CALIB = dict(_NV_CALIB), None
+    for wid, amax in calib.items():
+        w = ids.get(wid)
+        if w is not None:
+            # the division runs in eager jnp so the stored gsx is the
+            # same f32 value the exact path computes on-device
+            w["gsx"] = (448.0 * 6.0) / jnp.maximum(
+                jnp.float32(margin * amax), 1e-6)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -302,13 +364,32 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         # TRACE time: set it before the first compile of each shape —
         # flipping it later leaves already-compiled programs on the
         # old mode.
-        if os.environ.get("QUTLASS_TPU_NV_GSX", "exact") == "bound":
-            xf = x2.astype(jnp.float32).reshape(-1, h.shape[-1])
-            xh_amax = jnp.sqrt(jnp.max(jnp.sum(xf * xf, axis=-1))) * 1.004
+        if "gsx" in w:
+            # STATIC calibrated activation global scale (the vLLM /
+            # modelopt input_scale convention — the reference's NVFP4
+            # benches likewise take a caller-provided constant,
+            # bench_nvfp4_sm120.py:57): skips the per-call rotated-amax
+            # pass entirely (a full extra rotation of x at every
+            # linear).  Set by calibrate_nv_gsx or imported from a
+            # pre-quantized checkpoint's input_scale.  Activations
+            # whose rotated amax exceeds the calibrated window clip at
+            # the e2m1 +-6 grid edge — standard static-quant behavior;
+            # calibrate with margin > 1 for headroom.
+            gsx = jnp.asarray(w["gsx"], jnp.float32).reshape(())
         else:
-            xh_amax = jnp.max(jnp.abs(_rotate_rows(x2, h)))
-        # 448*6/amax: vLLM global-scale convention (see quantize_weight)
-        gsx = (448.0 * 6.0) / jnp.maximum(xh_amax.astype(jnp.float32), 1e-6)
+            if os.environ.get("QUTLASS_TPU_NV_GSX", "exact") == "bound":
+                xf = x2.astype(jnp.float32).reshape(-1, h.shape[-1])
+                xh_amax = (jnp.sqrt(jnp.max(jnp.sum(xf * xf, axis=-1)))
+                           * 1.004)
+            else:
+                xh_amax = jnp.max(jnp.abs(_rotate_rows(x2, h)))
+            if _NV_CALIB is not None and not isinstance(
+                    xh_amax, jax.core.Tracer):      # eager calibration
+                _NV_CALIB[id(w)] = max(float(xh_amax),
+                                       _NV_CALIB.get(id(w), 0.0))
+            # 448*6/amax: vLLM global-scale convention (quantize_weight)
+            gsx = (448.0 * 6.0) / jnp.maximum(
+                xh_amax.astype(jnp.float32), 1e-6)
         alpha = (1.0 / (gsx * w["gs"])).reshape(1)
         if "nvi8" in w:
             # int8-MXU NV evaluator, fused quantize+encode kernel

@@ -414,15 +414,23 @@ def test_prequantized_scheme_detection():
                          weight_format="both")
     packed, scales, gs = export_quantized_weight(nv)
 
-    # modelopt naming: weight_scale_2
+    # modelopt naming: weight_scale_2 is the second-level DEQUANT
+    # multiplier = 1/gs (vLLM reciprocates it); input_scale likewise
+    # maps to the static activation scale gsx = 1/input_scale
     state = {"w.weight_packed": np.asarray(packed),
              "w.weight_scale": np.asarray(scales),
-             "w.weight_scale_2": np.asarray(gs, np.float32).reshape(1)}
+             "w.weight_scale_2": np.asarray(1.0 / np.float32(gs),
+                                            np.float32).reshape(1),
+             "w.input_scale": np.asarray(0.25, np.float32).reshape(1)}
     _, get_q = _state_getters(state, "int8", jnp.bfloat16)
     d = get_q("w")
-    assert {"nvi8", "nvsb", "gs"} <= set(d)
+    assert {"nvi8", "nvsb", "gs", "gsx"} <= set(d)
     np.testing.assert_array_equal(np.asarray(d["nvi8"]),
                                   np.asarray(nv["nvi8"]))
+    # double reciprocal is within 1 ulp of the original global scale
+    np.testing.assert_allclose(np.float32(d["gs"]), np.float32(gs),
+                               rtol=1.2e-7)
+    assert np.float32(d["gsx"]) == np.float32(4.0)
 
     # group-16 scales but no global scale anywhere -> descriptive error
     del state["w.weight_scale_2"]

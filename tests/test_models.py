@@ -193,6 +193,43 @@ def test_nv_gsx_bound_mode_env_knob(monkeypatch):
     assert not np.array_equal(exact, bound)
 
 
+def test_nv_static_gsx_calibration():
+    """calibrate_nv_gsx records each NV linear's rotated activation
+    amax over an eager forward and stores static global scales: on the
+    calibration batch itself (margin=1) the static path is BITWISE
+    identical to the exact per-call-amax path under the same (eager)
+    execution mode — the same gsx reaches the quantizer — and the
+    jitted forward accepts the new gsx leaf.  Off the calibration
+    batch, outputs stay at quality."""
+    from qutlass_tpu.models import (calibrate_nv_gsx, forward, init_params,
+                                    quantize_model_weights, tiny_config)
+    from helpers import bf16_hadamard
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = bf16_hadamard(32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                              cfg.vocab_size)
+    qp = quantize_model_weights(cfg, params, h, fmt="nv")
+    exact = np.asarray(forward.__wrapped__(cfg, qp, toks, h,
+                                           quantized=True), np.float32)
+    calibrate_nv_gsx(cfg, qp, toks, h)
+    n_gsx = sum("gsx" in l[p] for l in qp["layers"]
+                for p in ("q_proj", "k_proj", "v_proj", "o_proj",
+                          "gate_proj", "up_proj", "down_proj"))
+    assert n_gsx == 7 * cfg.num_layers, n_gsx
+    static = np.asarray(forward.__wrapped__(cfg, qp, toks, h,
+                                            quantized=True), np.float32)
+    assert np.array_equal(exact, static)
+    # jit accepts the gsx leaf; other inputs stay at quality
+    toks2 = jax.random.randint(jax.random.PRNGKey(9), (2, 16), 0,
+                               cfg.vocab_size)
+    jfwd = jax.jit(lambda p, t: forward(cfg, p, t, h, quantized=True))
+    o2 = np.asarray(jfwd(qp, toks2), np.float32).ravel()
+    ref2 = np.asarray(forward(cfg, params, toks2, h), np.float32).ravel()
+    assert np.isfinite(o2).all()
+    assert _cos(o2, ref2) > 0.6, _cos(o2, ref2)
+
+
 @pytest.mark.slow
 def test_sliding_window_attention():
     """cfg.sliding_window masks attention to the last W positions:
