@@ -415,11 +415,12 @@ def _linear(x, w, h, method, quantized: bool, out_dtype=None):
         # the int8 operand, whole-K int8 dot + rank-1 fixup.  Beats
         # bf16 at every M.  The single-shot whole-K kernel (round 3)
         # emits int8 in one pass — no codes round-trip — and composes
-        # fastest whenever it fits VMEM (K <= ~10k on v5e); otherwise
-        # the two-pass composition wins over the revisit kernel: XLA
-        # overlaps the separate encode's VPU work under the int8 dot
-        # (436 vs 458 us at M=2048 K=N=5120;
-        # benchmarks/exp_fused_int8_quant2.py, exp_oneshot_variants_r3).
+        # fastest whenever it fits its raised VMEM budget (r5: covers
+        # every reference-table K incl. 25600/28672 at bm=128 —
+        # kernels/tuning.quantize_int8_oneshot_bm); only K ~50k+ falls
+        # back to the two-pass composition (XLA overlaps the separate
+        # encode's VPU work under the int8 dot;
+        # benchmarks/exp_oneshot_largek_r5.log, exp_fused_int8_quant2).
         from ..kernels.tuning import quantize_int8_oneshot_bm
         if quantize_int8_oneshot_bm(x2.shape[0], k):
             ai, sa, _ = q.fusedQuantizeMxInt8(x2, h, method=method)
