@@ -15,6 +15,9 @@ diagnostics, some numerically WRONG on purpose) to localize the cost:
                     (diagnostic: pass A cost incl. rotation)
   V4 e4m3-lite      pass A with pow2 scale bytes instead of e4m3
                     (numerically wrong for NV: the e4m3 encode cost)
+  V5 magic-round    pass B rounds via the +1.5*2^23 magic add (2 f32
+                    adds; bitwise == RTNE for |x| < 2^22 — |a| <= 127
+                    here) instead of lax.round
 
 Usage: python benchmarks/exp_nv_kernel_anatomy_r5.py [--m 2048 --k 25600]
 """
@@ -96,7 +99,10 @@ def _nv_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref, sg_ref, *, k, variant):
         q = (xt.reshape(gc, 16, bm) * mul[:, None, :]).reshape(bkc, bm)
         m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
         v = (m2.reshape(gc, 16, bm) * hs[:, None, :]).reshape(bkc, bm)
-        a = jnp.round(v * inv)
+        if variant == "magicround":
+            a = (v * inv + 12582912.0) - 12582912.0   # RTNE, |x| <= 127
+        else:
+            a = jnp.round(v * inv)
         a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int32).astype(jnp.int8)
 
 
@@ -143,14 +149,15 @@ def main():
     p = {"a": a}
 
     ref = None
-    for variant in ("prod", "nostash", "novm", "passa", "e4m3lite"):
+    for variant in ("prod", "nostash", "novm", "passa", "e4m3lite",
+                    "magicround"):
         call = make_quant(K, M, bm, variant)
         try:
             ai, sb, sg = call(gs, a, h128)
             if variant == "prod":
                 ref = (np.asarray(ai), np.asarray(sb), np.asarray(sg))
                 ok = "ref"
-            elif variant == "nostash":
+            elif variant in ("nostash", "magicround"):
                 got = (np.asarray(ai), np.asarray(sb), np.asarray(sg))
                 ok = "BITWISE" if all(
                     np.array_equal(x, y) for x, y in zip(ref, got)) else "DIFF"
