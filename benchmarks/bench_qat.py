@@ -74,7 +74,7 @@ def main():
     # read+write copy of the activation per iteration (the harness
     # artifact found in exp_longm_r4) — ~84 us at 4096^2, ~5% of the
     # step.  h' stays 2 KB of traffic on both paths.
-    def loss_pseudo(x, w, hh):
+    def loss_pseudo(x, w, hh, t):
         # bf16 GEMM with fp32 accumulation — the rate a real bf16
         # pseudo-quant trainer gets (an f32-cast GEMM would run the MXU
         # at a fraction of peak and flatter the quartet number)
@@ -84,10 +84,16 @@ def main():
         return jnp.sum(y * t)
 
     def make_loss_quartet(grad_mode):
-        def loss_quartet(x, w, hh):
+        def loss_quartet(x, w, hh, t):
             return jnp.sum(quartet_linear(x, w, hh, "quest", grad_mode)
                            .astype(jnp.float32) * t)
         return loss_quartet
+
+    # x / w / t travel as jit ARGUMENTS: closure-captured operands embed
+    # as HLO constants and the remote-compile tunnel rejects requests
+    # over ~100 MB (HTTP 413 at 4096x14336 — the f32 target alone is
+    # 235 MB)
+    prm = {"x": x, "w": w, "t": t}
 
     def bench(step, iters=4, chain=3):
         # slope-timed at iters and 5*iters; results are FETCHED (the
@@ -96,7 +102,7 @@ def main():
         # value) — see qutlass_tpu.profiling.benchmark
         def make(n):
             @jax.jit
-            def loop(dep):
+            def loop(dep, p):
                 def body(c, _):
                     for _ in range(chain):
                         # loss folds into the chain scalar so the
@@ -105,7 +111,7 @@ def main():
                         # dead-code the forward GEMM on both paths
                         # (ADVICE r4) — grad-only timings measured a
                         # backward-only step.
-                        loss, (gx, gw) = step(c)
+                        loss, (gx, gw) = step(c, p)
                         c = (loss
                              + jnp.sum(gx, dtype=jnp.float32)
                              + jnp.sum(gw, dtype=jnp.float32)
@@ -115,7 +121,7 @@ def main():
                 return c
             return loop
         l1, l5 = make(iters), make(5 * iters)
-        run = lambda l, d: float(np.asarray(l(d))[0])
+        run = lambda l, d: float(np.asarray(l(d, prm))[0])
         d = jnp.zeros((1,), jnp.float32)
         run(l1, d)
         run(l5, d)
@@ -133,12 +139,13 @@ def main():
 
     from qutlass_tpu.profiling import chain_dep
     gp = jax.value_and_grad(loss_pseudo, argnums=(0, 1))
-    tp = bench(lambda d: gp(x, w, chain_dep(h, d)))
+    tp = bench(lambda d, p: gp(p["x"], p["w"], chain_dep(h, d), p["t"]))
 
     times = {}
     for mode in ["int8", "bf16", "mxfp8"]:
         gq = jax.value_and_grad(make_loss_quartet(mode), argnums=(0, 1))
-        times[mode] = bench(lambda d: gq(x, w, chain_dep(h, d)))
+        times[mode] = bench(
+            lambda d, p: gq(p["x"], p["w"], chain_dep(h, d), p["t"]))
 
     # headline = the int8 grad mode: the TPU-native step (all three
     # GEMMs on the int8 MXU, 8-bit row-quantized gradients — tighter

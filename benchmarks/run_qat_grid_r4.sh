@@ -12,7 +12,7 @@ for shape in "4096 4096 4096" "4096 14336 4096" "4096 4096 14336" \
              "8192 4096 4096"; do
   set -- $shape
   ERRLOG="/tmp/qat_${1}_${2}_${3}.err"
-  LINE=$(timeout 1200 python benchmarks/bench_qat.py --m "$1" --n "$2" \
+  LINE=$(timeout 2700 python benchmarks/bench_qat.py --m "$1" --n "$2" \
     --k "$3" 2>"$ERRLOG" | tail -1)
   case "$LINE" in
     *qat_step_speedup*) printf '%s\n' "$LINE" >> "$OUT" ;;
