@@ -353,19 +353,29 @@ def _quantize_mx_int8_oneshot_kernel(x_ref, h_ref, a_ref, s_ref, sa_ref,
     h = h_ref[...]
     bkc = next(b for b in (512, 384, 256, 128) if k % b == 0)
     gc = bkc // 32
-    byte_chunks = []
+    # per-chunk loop emits only the group moments; the scale pipeline
+    # runs once over the stacked [k/32, bm] arrays (per-chunk slivers
+    # inside the unrolled loop are per-op-overhead-bound — measured on
+    # the NV twin, results_nv_anatomy_r5.log)
+    m1_chunks, m2_chunks = [], []
     for c in range(k // bkc):
         xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)     # [bkc, bm] f32
         g = xt.reshape(gc, 32, bm)
         if method == "quest":
-            scale = C.mx_scale_quest(jnp.sum(g, axis=1),
-                                     jnp.sum(g * g, axis=1), 32.0)
+            m1_chunks.append(jnp.sum(g, axis=1))
+            m2_chunks.append(jnp.sum(g * g, axis=1))
         else:
-            scale = C.mx_scale_absmax(jnp.max(jnp.abs(g), axis=1))
-        _, byte = C.pow2_floor_e8m0(scale)
-        byte_chunks.append(byte)                 # [gc, bm] i32
-    byte = (jnp.concatenate(byte_chunks, axis=0) if len(byte_chunks) > 1
-            else byte_chunks[0])                 # [k/32, bm]
+            m1_chunks.append(jnp.max(jnp.abs(g), axis=1))
+
+    def _cat(chunks):
+        return (jnp.concatenate(chunks, axis=0) if len(chunks) > 1
+                else chunks[0])
+
+    if method == "quest":
+        scale = C.mx_scale_quest(_cat(m1_chunks), _cat(m2_chunks), 32.0)
+    else:
+        scale = C.mx_scale_absmax(_cat(m1_chunks))
+    _, byte = C.pow2_floor_e8m0(scale)           # [k/32, bm]
     e = jnp.max(byte, axis=0, keepdims=True)     # [1, bm] row max byte
     inv = C.e8m0_recip_f32(byte)
     # m * 2^(3-d) is exact f32 for d <= 3 and RTNE-rounds deeper — same
@@ -474,42 +484,50 @@ def _quantize_nv_int8_oneshot_kernel(gs_ref, x_ref, h_ref, a_ref, s_ref,
     h = h_ref[...]
     bkc = next(b for b in (512, 384, 256, 128) if k % b == 0)
     gc = bkc // 16
-    byte_chunks, mul_chunks, hs_chunks = [], [], []
-    vmax = None
+    # Pass A phase 1: only the cheap per-chunk group moments.  The
+    # whole scale pipeline then runs ONCE over the stacked [K/16, bm]
+    # arrays — running it per chunk on [gc, bm] slivers inside the
+    # fully-unrolled chunk loop cost ~450 us of per-op overhead at
+    # K=25600 (e4m3 encode alone; benchmarks/results_nv_anatomy_r5.log
+    # e4m3lite vs prod), ~40% of the whole kernel.
+    amax_chunks, s1_chunks, s2_chunks = [], [], []
     for c in range(k // bkc):
         xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)     # [bkc, bm] f32
         g = xt.reshape(gc, 16, bm)
-        amax = jnp.max(jnp.abs(g), axis=1)               # [gc, bm]
+        amax_chunks.append(jnp.max(jnp.abs(g), axis=1))  # [gc, bm]
         if method == "quest":
-            byte, mul = C.nv_quest_scale_bytes(jnp.sum(g, axis=1),
-                                               jnp.sum(g * g, axis=1))
-        else:
-            byte, mul = C.nv_absmax_scale_bytes(amax, gs_ref[0, 0])
-        s = C.e4m3_decode_f32(byte.astype(jnp.int32))
-        s = jnp.where(jnp.isnan(s), 0.0, s)
-        m2max = C.e2m1_codes_to_m2(
-            C.e2m1_rtne_codes(amax * mul)).astype(jnp.float32)
-        hs = 0.5 * s                             # exact pow2 multiply
-        vm = jnp.max(hs * m2max, axis=0, keepdims=True)  # [1, bm]
-        vmax = vm if vmax is None else jnp.maximum(vmax, vm)
-        byte_chunks.append(byte)
-        mul_chunks.append(mul)
-        hs_chunks.append(hs)     # stash — pass B skips the e4m3 decode
+            s1_chunks.append(jnp.sum(g, axis=1))
+            s2_chunks.append(jnp.sum(g * g, axis=1))
+
+    def _cat(chunks):
+        return (jnp.concatenate(chunks, axis=0) if len(chunks) > 1
+                else chunks[0])
+
+    amax = _cat(amax_chunks)                             # [k/16, bm]
+    if method == "quest":
+        byte, mul = C.nv_quest_scale_bytes(_cat(s1_chunks), _cat(s2_chunks))
+    else:
+        byte, mul = C.nv_absmax_scale_bytes(amax, gs_ref[0, 0])
+    s = C.e4m3_decode_f32(byte.astype(jnp.int32))
+    s = jnp.where(jnp.isnan(s), 0.0, s)
+    m2max = C.e2m1_codes_to_m2(
+        C.e2m1_rtne_codes(amax * mul)).astype(jnp.float32)
+    hs = 0.5 * s                                 # exact pow2 multiply
+    vmax = jnp.max(hs * m2max, axis=0, keepdims=True)    # [1, bm]
     sigma = vmax / 127.0                                 # [1, bm]
     inv = jnp.where(sigma > 0, 1.0 / sigma, 0.0)
-    s_ref[...] = (jnp.concatenate(byte_chunks, axis=0)
-                  if len(byte_chunks) > 1 else byte_chunks[0]
-                  ).astype(jnp.uint8)
+    s_ref[...] = byte.astype(jnp.uint8)
     sg_ref[...] = sigma
     for c in range(k // bkc):
         xt = _rotate_chunk_t(x_ref, h, c * bkc, bkc)
-        q = (xt.reshape(gc, 16, bm) * mul_chunks[c][:, None, :]
+        q = (xt.reshape(gc, 16, bm) * mul[c * gc:(c + 1) * gc][:, None, :]
              ).reshape(bkc, bm)
         # codes round-trip (integer-domain beats lax.round on Mosaic —
-        # see the MX oneshot note)
+        # see the MX oneshot note; the +1.5*2^23 magic-add round also
+        # measured SLOWER than jnp.round here, results_nv_anatomy_r5)
         m2 = C.e2m1_codes_to_m2(C.e2m1_rtne_codes(q)).astype(jnp.float32)
         v = (m2.reshape(gc, 16, bm)
-             * hs_chunks[c][:, None, :]).reshape(bkc, bm)
+             * hs[c * gc:(c + 1) * gc][:, None, :]).reshape(bkc, bm)
         a = jnp.round(v * inv)
         a_ref[c * bkc:(c + 1) * bkc, :] = a.astype(jnp.int32).astype(jnp.int8)
 
