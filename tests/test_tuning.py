@@ -127,3 +127,24 @@ def test_backward_pick_bk_pow2():
     assert _pick_bk(768) == 256
     # pow2 model dims keep their full-speed picks
     assert _pick_bk(4096) == 1024 and _pick_bk(25600) == 1024
+
+
+def test_oneshot_covers_reference_table_ks():
+    """r5 routing contract: the whole-K oneshot quantize kernel fires
+    at EVERY reference-table K (the r4 NV-below-bf16 regression and the
+    weak MX K=25600 cell both came from the 16 MB scoped-VMEM default
+    capping it out at K >= ~20k — results_oneshot_largek_r5_v2.log),
+    and its requested vmem limit stays within the v5e 128 MB/core."""
+    from qutlass_tpu.kernels.tuning import (oneshot_vmem_limit,
+                                            oneshot_vmem_need,
+                                            quantize_int8_oneshot_bm)
+
+    for k in (4096, 5120, 8192, 14336, 25600, 28672):
+        bm = quantize_int8_oneshot_bm(2048, k, kind="TPU v5 lite")
+        assert bm in (128, 256), (k, bm)
+        lim = oneshot_vmem_limit(k, bm)
+        assert oneshot_vmem_need(k, bm) <= lim <= 100 << 20, (k, bm, lim)
+    # huge K keeps the two-pass fallback (unrolled-chunk compile risk)
+    assert quantize_int8_oneshot_bm(2048, 51200, kind="TPU v5 lite") == 0
+    # sub-128 row counts still use their full extent
+    assert quantize_int8_oneshot_bm(64, 25600, kind="TPU v5 lite") == 64
