@@ -58,12 +58,13 @@ TABLES = {
     "qwen3-32b": [(5120, 5120), (5120, 51200), (25600, 5120)],
     "llama31-70b": [(8192, 8192), (8192, 57344), (28672, 8192)],
 }
-# Freshest committed artifact measured on the CURRENT kernels (r4
-# in-round run: full MX core grid + NVFP4 line + had-64 extensions,
-# 43 MX + 9 NV points).  The 198-point r2 full-grid log predates the
-# r3 oneshot-quantize/large-M rebuild and is kept only as history.
+# Freshest committed artifact measured on the CURRENT kernels: the
+# COMPLETE 198-point reference protocol (2 tables x 3 geos x
+# had{32,64,128} x 11 M) + the 9-point NVFP4 line, measured r5 on the
+# vectorized oneshot kernels across two resumable passes
+# (run_full_grid_r5.sh).  MX geomean 1.7215, NV 1.6085.
 RECORDED_LOG = os.path.join(REPO, "benchmarks",
-                            "results_bench_r4_inround.log")
+                            "results_full_grid_r5.log")
 
 
 def _recorded_geomean():
