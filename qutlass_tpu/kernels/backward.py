@@ -45,6 +45,18 @@ def _pick_bk(k: int, cap: int = 1024) -> int:
     return bk
 
 
+def _fulln_vmem_limit(bm: int, n: int) -> int:
+    """Scoped-VMEM limit for the full-N-block square-double kernels.
+
+    Mosaic's 16 MB default rejects them at N >= ~8k (measured 28.84 MB
+    actual at [256, 14336] — the QAT mxfp8 grad mode's Llama-8B MLP
+    shape); the limit only PERMITS, the kernel allocates what it uses.
+    ~12 bytes/element models the bf16 in+out double-buffering plus the
+    f32 intermediates with slack.
+    """
+    return min(100 << 20, max(16 << 20, 12 * bm * n))
+
+
 # ---------------------------------------------------------------------------
 # backward_t: x [N, K] -> quantize(rotate(x^T)) in MXFP4
 # ---------------------------------------------------------------------------
@@ -255,6 +267,8 @@ def backward_bf16_square_double_mxfp8_2d(x: jax.Array):
             jax.ShapeDtypeStruct((m, n), jnp.uint8),
             jax.ShapeDtypeStruct((m // 32, n // 32), jnp.uint8),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_fulln_vmem_limit(bm, n)),
     )(x)
     row_scales = jnp.repeat(eb, 32, axis=0)
     col_scales = jnp.repeat(eb.T, 32, axis=0)
@@ -316,6 +330,8 @@ def backward_square_double_scaled_2d(x: jax.Array):
         out_specs=pl.BlockSpec((bm, n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_fulln_vmem_limit(bm, n)),
     )(x)
 
 
