@@ -48,13 +48,12 @@ def _pick_bk(k: int, cap: int = 1024) -> int:
 def _fulln_vmem_limit(bm: int, n: int) -> int:
     """Scoped-VMEM limit for the full-N-block square-double kernels.
 
-    Mosaic's 16 MB default rejects them at N >= ~8k (measured 28.84 MB
-    actual at [256, 14336] — the QAT mxfp8 grad mode's Llama-8B MLP
-    shape); the limit only PERMITS, the kernel allocates what it uses.
-    ~12 bytes/element models the bf16 in+out double-buffering plus the
-    f32 intermediates with slack.
+    Mosaic's 16 MB default rejects them at N >= ~8k (the QAT mxfp8
+    grad mode's Llama-8B MLP shape); the limit only PERMITS, the
+    kernel allocates what it uses.  Measured actual at [256, 14336]:
+    42.84 MB (~11.7 B/element) — 14 B/element keeps ~20% slack.
     """
-    return min(100 << 20, max(16 << 20, 12 * bm * n))
+    return min(100 << 20, max(16 << 20, 14 * bm * n))
 
 
 # ---------------------------------------------------------------------------
