@@ -119,12 +119,18 @@ def main():
         cands.append((f"flash-{bq}x{bkm}x{bk}", flash_attn(
             FA.BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk,
                           block_b=1))))
-    cands.append(("splash-def", splash_attn(None, None)))
-    for bq, bkv in ((512, 1024), (1024, 1024), (2048, 1024), (1024, 2048),
-                    (2048, 2048), (512, 512), (256, 512), (256, 256)):
-        if bq > T or bkv > T:
+    for bq, bkv in ((None, None), (512, 1024), (1024, 1024), (2048, 1024),
+                    (1024, 2048), (2048, 2048), (512, 512), (256, 512),
+                    (256, 256)):
+        if bq is not None and (bq > T or bkv > T):
             continue
-        cands.append((f"splash-{bq}x{bkv}", splash_attn(bq, bkv)))
+        name = f"splash-{bq}x{bkv}" if bq else "splash-def"
+        try:
+            # splash validates block divisibility at construction time
+            cands.append((name, splash_attn(bq, bkv)))
+        except Exception as e:
+            print(f"{name:18s} SKIP {type(e).__name__}: {str(e)[:100]}",
+                  flush=True)
 
     # useful causal FLOPs: 2 matmuls * 2*T^2*HD*HEADS / 2
     flops = 2 * 2 * T * T * HD * HEADS / 2
