@@ -449,9 +449,8 @@ def _flash_eligible(cfg: ModelConfig, t: int) -> bool:
     whole prefill in exactly that regime (benchmarks/exp_flashattn.py).
     ``QUTLASS_TPU_FLASH=0`` forces the einsum path, ``1`` forces flash
     wherever legal; default ``auto`` uses flash on TPU for full-causal
-    prefill at t >= 1024 (t must also be 512-divisible for the kernel
-    blocks; below 1024 the scores buffer fits cheap and einsum wins —
-    see the measured note below).
+    prefill at t >= 512 with t % 512 == 0 (the 512-block divisibility
+    is MEASURED, not just a kernel constraint — see below).
 
     NOTE: like QUTLASS_TPU_PIN_NORMS / QUTLASS_TPU_SCAN_GENERATE, the
     env var is read at trace time and jit caches are NOT keyed on it —
@@ -471,10 +470,13 @@ def _flash_eligible(cfg: ModelConfig, t: int) -> bool:
     # measured (exp_attn_tune_r3.py, v5e, 32q/8kv hd=128): the kernel's
     # DEFAULT block sizes leave it at ~15-17 TF/s (1952 us at t=2048,
     # barely ahead of einsum's 2260); 1024-cubed blocks reach 88 TF/s
-    # (391 us, 5.0x) at t=2048 and 67 TF/s (128 us) at t=1024.  At
-    # t=512 einsum is already at 60 TF/s (35.5 us) and wins — the f32
-    # scores buffer is still cheap there.  Flash from t >= 1024.
-    return flag == "1" or t >= 1024
+    # (391 us, 5.0x) at t=2048 and 67 TF/s (128 us) at t=1024.  r5
+    # (results_attn_t512/768_r5.log): at t=512, 512-cubed blocks beat
+    # einsum 29.6 vs 33.0 us (74 vs 65 TF/s) -> flash from t >= 512.
+    # At t=768 the only legal blocks are 256-cubed, which LOSE to
+    # einsum 117 vs 72 us — the t % 512 divisibility gate is a
+    # measured decision, not just a kernel constraint.
+    return flag == "1" or t >= 512
 
 
 def _flash_block_sizes(t: int):
