@@ -23,8 +23,10 @@ import sys, time
 import numpy as np
 import jax, jax.numpy as jnp
 import functools
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# COLD compiles only: the persistent cache would serve a previously
+# compiled binary in ~1.2 s and mask the compile-time pathology this
+# script exists to measure (r5 rerun hit exactly that)
+jax.config.update("jax_enable_compilation_cache", False)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, %(repo)r)
@@ -73,13 +75,18 @@ def main():
     # pathological candidates LAST: a timed-out child leaves its remote
     # compile grinding server-side, which would serialize (and falsely
     # time out) every case queued behind it
+    # r5 NOTE: the remote compile helper ALSO caches by program, so a
+    # case ever compiled before returns in ~1.5 s regardless of the
+    # local-cache setting — every rerun of this bisect must use a
+    # FRESH shape row (results_bwd_compile_r5_cachehit.log shows the
+    # masked rerun).  The N=1024 row below was never compiled before
+    # the r5 run.
     cases = [
-        (512, 256, 256),    # known-good baseline
-        (512, 768, 256),    # pow2 tile on the pathological shape
-        (512, 1536, 512),   # pow2 tile, bigger K
-        (768, 768, 256),    # pow2 tile, N=768
-        (512, 768, 384),    # non-pow2 tile, half size
-        (512, 768, 768),    # the pathological production pick
+        (1024, 256, 256),    # known-good baseline
+        (1024, 768, 256),    # pow2 tile on the pathological K
+        (1024, 1536, 512),   # pow2 tile, bigger K
+        (1024, 768, 384),    # non-pow2 tile, half size
+        (1024, 768, 768),    # the pathological production pick
     ]
     for n, k, bk in cases:
         child = CHILD % {"repo": REPO, "n": n, "k": k, "bk": bk}
