@@ -136,12 +136,26 @@ def main():
                     wsbs.append(wsb)
                 ip = {"wi8": wi8s, "wsb": wsbs, "a": qp["a"]}
 
+                # mirror production routing (models/transformer._linear):
+                # whole-K oneshot when it fits, else two-pass; chain
+                # through the TINY Hadamard — chaining through the
+                # activation taxed the quantized path with a full
+                # unfused activation copy per iteration (the r4
+                # harness artifact, exp_longm_r4)
+                from qutlass_tpu.kernels.tuning import (
+                    quantize_int8_oneshot_bm)
+                use_oneshot = bool(quantize_int8_oneshot_bm(M, K))
+
                 def int8_actual(d, j, p):
-                    x = chain_dep(p["a"], d)
-                    cq, cs = P.fused_quantize_mx(x, h, rot_size=args.had,
-                                                 method="quest",
-                                                 layout="kmajor_codes")
-                    ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
+                    hc = chain_dep(h, d)
+                    if use_oneshot:
+                        ai, sa, _ = P.fused_quantize_mx_int8(
+                            p["a"], hc, rot_size=args.had, method="quest")
+                    else:
+                        cq, cs = P.fused_quantize_mx(
+                            p["a"], hc, rot_size=args.had, method="quest",
+                            layout="kmajor_codes")
+                        ai, sa, _ = I8.encode_int8(cq, cs, kmajor=True)
                     return I8.matmul_mxf4_bf16_int8_kmajor(
                         ai, p["wi8"][j % NW], sa, p["wsb"][j % NW], one)
 
