@@ -7,8 +7,10 @@ chained-scan harness, dep chained through the Hadamard.
 Reference: bench_nvfp4_sm120.py:161-188 (NVFP4 as a first-class format
 at every geometry).
 
-Usage: python benchmarks/bench_nv_llama_r5.py
+Usage: python benchmarks/bench_nv_llama_r5.py [--table llama31-70b]
+       [--ms 16 256 2048]
 """
+import argparse
 import json
 import os
 import sys
@@ -23,11 +25,18 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-GEOS = [(8192, 8192), (8192, 57344), (28672, 8192)]
-MS = [16, 256, 2048]
+TABLES = {
+    "qwen3-32b": [(5120, 5120), (5120, 51200), (25600, 5120)],
+    "llama31-70b": [(8192, 8192), (8192, 57344), (28672, 8192)],
+}
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", default="llama31-70b", choices=list(TABLES))
+    ap.add_argument("--ms", type=int, nargs="*", default=[16, 256, 2048])
+    args = ap.parse_args()
+    GEOS, MS, table = TABLES[args.table], args.ms, args.table
     from qutlass_tpu.ops import int8path as I8
     from qutlass_tpu.ops import pallas_ops as P
     from qutlass_tpu.profiling import benchmark, chain_dep
@@ -71,13 +80,13 @@ def main():
             tq = benchmark(nv_linear, repeats=3, params=p)
             tb = benchmark(bf16_linear, repeats=3, params=p)
             speeds.append(tb / tq)
-            print(f"NVFP4 llama31-70b K={K:5d} N={N:5d} M={M:5d}: "
+            print(f"NVFP4 {table} K={K:5d} N={N:5d} M={M:5d}: "
                   f"int8-path {tq*1e6:9.1f}us "
                   f"({2*M*N*K/tq/1e12:6.2f} TF/s) "
                   f"bf16 {tb*1e6:9.1f}us  speedup {tb/tq:5.2f}x",
                   flush=True)
     g = float(np.exp(np.mean(np.log(speeds))))
-    print(json.dumps({"metric": "nvfp4_llama_table_speedup_geomean",
+    print(json.dumps({"metric": f"nvfp4_{table}_speedup_geomean",
                       "value": round(g, 4), "points": len(speeds)}),
           flush=True)
 
